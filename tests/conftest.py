@@ -1,0 +1,14 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual XLA devices so that multi-chip sharding
+(mesh/pjit/shard_map) is exercised without TPU hardware.  Must be set before
+JAX initializes its backends.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8").strip()
