@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Benchmark: flip-flop training throughput on one chip.
+
+Measures chunks/sec for a full jitted training step (forward + CRF loss +
+logZ + backward + AdamW update) of the production-shape mLstm flip-flop
+model (size 256, stride 5, winlen 19) at chunk_len 4000, the middle of the
+reference's 3000-8000 production range.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline compares against the reference implementation's measured
+single-device step throughput recorded in BASELINE.json (if present);
+otherwise null — taiyaki publishes no official numbers (BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from taiyaki_tpu import train
+    from taiyaki_tpu.models import mLstm_flipflop
+
+    chunk_len = 4000
+    stride = 5
+    batch_size = 64
+    max_seqlen = train.max_seqlen_for_chunk(chunk_len, stride, 1.1)
+
+    rng = np.random.default_rng(0)
+    net = mLstm_flipflop.network(size=256, stride=stride, winlen=19)
+    params = net.init(rng)
+    opt, _ = train.make_optimizer(
+        lr_max=4e-3, niteration=1000, warmup_batches=10, lr_warmup=1e-4,
+        lr_min=1e-4)
+    opt_state = opt.init(params)
+    step = train.jit_train_step(train.make_train_step(net, opt), mesh=None)
+
+    signal = rng.normal(size=(chunk_len, batch_size, 1)).astype(np.float32)
+    # Realistic sequence lengths: ~chunk_len/10 bases (dwell ~10 samples).
+    seqlens = np.minimum(
+        rng.integers(chunk_len // 12, chunk_len // 8, size=batch_size),
+        max_seqlen).astype(np.int32)
+    seqs = np.zeros((batch_size, max_seqlen), dtype=np.int32)
+    for i in range(batch_size):
+        labels = rng.integers(0, 4, size=seqlens[i])
+        from taiyaki_tpu.flipflopfings import flipflop_code
+        seqs[i, :seqlens[i]] = flipflop_code(labels)
+    batch = train.Batch(jnp.asarray(signal), jnp.asarray(seqs),
+                        jnp.asarray(seqlens), None)
+    nleaves = len(jax.tree.leaves(params))
+    threshs = jnp.full(nleaves, jnp.inf, jnp.float32)
+
+    # Warmup / compile.
+    params, opt_state, loss, _ = step(params, opt_state, batch, 1.0, 1.0,
+                                      threshs)
+    jax.block_until_ready(loss)
+
+    niter = 10
+    t0 = time.perf_counter()
+    for _ in range(niter):
+        params, opt_state, loss, _ = step(params, opt_state, batch, 1.0,
+                                          1.0, threshs)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    chunks_per_sec = niter * batch_size / dt
+
+    vs_baseline = None
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BASELINE.json")
+    if os.path.exists(baseline_path):
+        try:
+            with open(baseline_path) as fh:
+                baseline = json.load(fh)
+            base = baseline.get("train_chunks_per_sec")
+            if base:
+                vs_baseline = chunks_per_sec / float(base)
+        except Exception:
+            pass
+
+    print(json.dumps({
+        "metric": "train_chunks_per_sec",
+        "value": round(chunks_per_sec, 3),
+        "unit": "chunks/s (mLstm256 s5 chunk4000 bs64, full train step)",
+        "vs_baseline": vs_baseline,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,357 @@
+#!/usr/bin/env python3
+"""Train a flip-flop basecaller network (canonical or modified-base) on TPU.
+
+TPU-native re-design of the reference trainer (bin/train_flipflop.py):
+the whole optimization step is one jitted XLA program; multi-chip data
+parallelism is a jax mesh + sharded batch (no DDP/NCCL, no --local_rank —
+one process drives all local chips; multi-host runs use --multihost and a
+per-host seed offset mirroring the reference's seed + rank convention,
+reference bin/train_flipflop.py:266-268).
+
+Outputs (same contract as the reference, parsed by misc/plot_training.py):
+  outdir/model.log        human-readable narrative + per-50-iteration stats
+  outdir/batch.log        TSV: iter loss gradientmax gradientcap lr chunk_len
+  outdir/validation.log   TSV: iter loss
+  outdir/model_checkpoint_XXXXX.checkpoint (+ .params)
+"""
+
+import os
+import sys
+import time
+from collections import defaultdict, namedtuple
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from bin._bin_argparse import get_train_flipflop_parser  # noqa: E402
+
+
+MAIN_LOG_POLKA_TMPLT = (
+    ' {:5d} {:7.5f}   {:5.2f}s ({:.2f} ksample/s {:.2f} kbase/s) '
+    'lr={:.2e}')
+MAIN_LOG_VAL_TMPLT = (
+    'iteration: {} validation_loss: {:7.5f} ({:5.2} Mbase in {:5.2f} s, '
+    '{:.2f} kbase/s)\n')
+BATCH_FIELDS = ['iter', 'loss', 'gradientmax', 'gradientcap',
+                'learning_rate', 'chunk_len']
+BATCH_TMPLT = '\t'.join('{}' for _ in BATCH_FIELDS) + '\n'
+VAL_TMPLT = '{}\t{}\n'
+
+LOGS = namedtuple('LOGS', ('main', 'batch', 'validation'))
+
+
+def main(args):
+    # Heavy imports after argparse so --help is fast.
+    import jax
+    import jax.numpy as jnp
+    from taiyaki_tpu import layers, train
+    from taiyaki_tpu.constants import (
+        BATCH_LOG_FILENAME, DOTROWLENGTH, MODEL_LOG_FILENAME,
+        VALID_LOG_FILENAME)
+    from taiyaki_tpu.data import mapped_signal_files
+    from taiyaki_tpu.utils import helpers
+
+    if args.device == 'cpu':
+        jax.config.update('jax_platforms', 'cpu')
+    if args.multihost:
+        jax.distributed.initialize()
+    is_lead = jax.process_index() == 0
+
+    if is_lead:
+        helpers.prepare_outdir(args.outdir, args.overwrite)
+    logs = LOGS(
+        main=helpers.Logger(
+            os.path.join(args.outdir, MODEL_LOG_FILENAME) if is_lead
+            else None, args.quiet),
+        batch=helpers.Logger(
+            os.path.join(args.outdir, BATCH_LOG_FILENAME) if is_lead
+            else None, quiet=True),
+        validation=helpers.Logger(
+            os.path.join(args.outdir, VALID_LOG_FILENAME) if is_lead
+            else None, quiet=True))
+    logs.main.write(helpers.formatted_env_info(args.device))
+    logs.batch.write(BATCH_TMPLT.format(*BATCH_FIELDS))
+    logs.validation.write(VAL_TMPLT.format('iter', 'loss'))
+
+    seed = (np.random.randint(0, 2 ** 31) if args.seed is None
+            else args.seed)
+    # Per-host offset so hosts draw different data (reference :268).
+    np.random.seed(seed + jax.process_index())
+    rng = np.random.default_rng(seed + jax.process_index())
+    logs.main.write('* Using random seed {}\n'.format(seed))
+
+    # ---- data ---------------------------------------------------------------
+    logs.main.write('* Loading data from {}\n'.format(args.input))
+    logs.main.write('* Per read file MD5 {}\n'.format(
+        helpers.file_md5(args.input)))
+    with mapped_signal_files.MappedSignalReader(args.input) as msr:
+        alphabet_info = msr.get_alphabet_information()
+        if args.input_strand_list is not None:
+            from taiyaki_tpu.utils.fileio import readtsv
+            read_ids = list(readtsv(args.input_strand_list,
+                                    ['read_id'])['read_id'])
+            logs.main.write('* Will train from a subset of {} strands, '
+                            'determined by read_ids in input strand '
+                            'list\n'.format(len(read_ids)))
+        else:
+            read_ids = None
+        read_data = list(msr.reads(read_ids))
+        if args.limit is not None:
+            read_data = read_data[:args.limit]
+    if len(read_data) == 0:
+        logs.main.write('* No reads remaining for training, exiting.\n')
+        sys.exit(1)
+    logs.main.write('* Loaded {} reads.\n'.format(len(read_data)))
+    logs.main.write('* Reading network from {}\n'.format(args.model))
+
+    # ---- network ------------------------------------------------------------
+    model_kwargs = {
+        'size': args.size, 'stride': args.stride, 'winlen': args.winlen,
+        'insize': 1, 'alphabet_info': alphabet_info}
+    model_metadata = {'reverse': args.reverse,
+                      'standardize': args.standardize}
+    net, params, model_source, metadata, model_kwargs, opt_state_ckpt = \
+        helpers.load_model(args.model, model_metadata=model_metadata,
+                           **model_kwargs)
+    if params is None:
+        params = net.init(rng)
+    is_cat_mod = layers.is_cat_mod_model(net)
+    if is_cat_mod:
+        head = net.sublayers[-1]
+        assert alphabet_info.is_compatible_model(net), (
+            'Model alphabet does not match mapped signal file alphabet')
+        can_mods_offsets = head.can_mods_offsets
+        can_labels, mod_labels = head.can_labels, head.mod_labels
+        if args.mod_prior_factor is None:
+            mod_cat_weights = np.ones(head.ncan_base + head.nmod_base,
+                                      dtype=np.float32)
+        else:
+            mod_cat_weights = alphabet_info.compute_mod_inv_freq_weights(
+                read_data, args.num_mod_weight_reads) \
+                ** args.mod_prior_factor
+            logs.main.write('* Modified base weights: {}\n'.format(
+                mod_cat_weights))
+    else:
+        assert alphabet_info.nbase == net.sublayers[-1].nbase, (
+            'Number of bases in alphabet does not match model')
+        can_mods_offsets = can_labels = mod_labels = None
+        mod_cat_weights = None
+    stride = net.stride
+    logs.main.write('* Network has {} parameter tensors, stride {}.\n'
+                    .format(len(jax.tree.leaves(params)), stride))
+
+    # ---- optimizer ----------------------------------------------------------
+    lr_warmup = args.lr_min if args.lr_warmup is None else args.lr_warmup
+    if args.warmup_batches >= args.niteration:
+        sys.exit('* Error: --warmup_batches must be < --niteration')
+    optimizer, schedule = train.make_optimizer(
+        args.lr_max, args.niteration, args.warmup_batches, lr_warmup,
+        args.lr_min, adam_betas=tuple(args.adam), eps=args.eps,
+        weight_decay=args.weight_decay)
+    opt_state = optimizer.init(params) if opt_state_ckpt is None \
+        else opt_state_ckpt
+    logs.main.write(
+        '* Learning rate increases from {:.2e} to {:.2e} over {} '
+        'iterations using cosine schedule.\n'.format(
+            lr_warmup, args.lr_max, args.warmup_batches))
+    logs.main.write(
+        '* Then learning rate decreases from {:.2e} to {:.2e} over {} '
+        'iterations using cosine schedule.\n'.format(
+            args.lr_max, args.lr_min,
+            args.niteration - args.warmup_batches))
+
+    nleaves = len(jax.tree.leaves(params))
+    capper = train.GradientCapper(nleaves, args.gradient_clip_num_mads)
+    if args.gradient_clip_num_mads is None:
+        logs.main.write('* No gradient clipping\n')
+    else:
+        logs.main.write(
+            '* Gradients will be clipped (by value) at {:3.2f} MADs above '
+            'the median of the last 1000 gradient maximums.\n'.format(
+                args.gradient_clip_num_mads))
+
+    # ---- mesh ---------------------------------------------------------------
+    ndev = jax.local_device_count()
+    mesh = None
+    if ndev > 1:
+        mesh = jax.sharding.Mesh(
+            np.array(jax.devices()).reshape(-1), ('data',))
+        logs.main.write('* Data-parallel over {} devices.\n'.format(
+            jax.device_count()))
+    step_fn = train.jit_train_step(
+        train.make_train_step(net, optimizer, is_cat_mod, can_mods_offsets,
+                              mod_cat_weights), mesh)
+
+    # ---- filters & reporting data ------------------------------------------
+    logs.main.write('* Estimating filter parameters from training data\n')
+    from taiyaki_tpu.data import chunk_selection
+    filter_params = chunk_selection.sample_filter_parameters(
+        read_data, args.sample_nreads_before_filtering, args.chunk_len_max,
+        args.filter_mean_dwell, args.filter_max_dwell,
+        args.filter_min_pass_fraction, stride, args.filter_path_buffer)
+    logs.main.write(
+        '* Sampled chunks: median(mean_dwell)={:.2f}, '
+        'mad(mean_dwell)={:.2f}\n'.format(
+            filter_params.median_meandwell, filter_params.mad_meandwell))
+
+    # Hold out reporting strands (reference :486-521).
+    n_report = max(1, int(len(read_data) * args.reporting_percent_reads
+                          / 100.0))
+    report_idx = set(np.random.choice(len(read_data), n_report,
+                                      replace=False))
+    reporting_data = [read_data[i] for i in sorted(report_idx)]
+    if not args.include_reporting_strands:
+        read_data = [r for i, r in enumerate(read_data)
+                     if i not in report_idx]
+        logs.main.write('* Holding out {} reads for validation, training '
+                        'on {}.\n'.format(len(reporting_data),
+                                          len(read_data)))
+
+    buckets = train.chunk_len_buckets(
+        args.chunk_len_min, args.chunk_len_max, stride,
+        args.chunk_len_buckets)
+    logs.main.write('* Chunk length buckets: {}\n'.format(buckets))
+
+    # Frozen validation batches, at the max chunk len bucket.
+    val_chunk_len = buckets[-1]
+    val_max_seqlen = train.max_seqlen_for_chunk(
+        val_chunk_len, stride, args.filter_path_buffer)
+    val_sub_batch_size = train.sub_batch_size_for_chunk(
+        args.min_sub_batch_size, args.chunk_len_max, val_chunk_len)
+    n_val = max(1, args.reporting_sub_batches // 10)
+    reporting_batches = []
+    for i in range(n_val):
+        vb, _ = train.sample_batch(
+            reporting_data, val_chunk_len, val_sub_batch_size,
+            val_max_seqlen, alphabet_info, filter_params,
+            reverse=args.reverse, standardize=args.standardize,
+            can_labels=can_labels, mod_labels=mod_labels,
+            select_strands_randomly=False, first_strand_index=i * 7)
+        if vb.signal.shape[1] > 0:
+            reporting_batches.append(vb)
+
+    import jax.numpy as jnp  # noqa: F811
+    loss_fn = train.make_loss_fn(net, is_cat_mod, can_mods_offsets,
+                                 mod_cat_weights)
+    eval_loss = jax.jit(loss_fn, static_argnums=())
+
+    sharpen_sched = train.linear_ramp(args.sharpen.min, args.sharpen.max,
+                                      args.sharpen.niter)
+    mod_factor_sched = train.linear_ramp(
+        args.mod_factor.start, args.mod_factor.final, args.mod_factor.niter)
+
+    # ---- training loop ------------------------------------------------------
+    score_smoothed = helpers.WindowedExpSmoother()
+    rejection_dict = defaultdict(int)
+    total_bases = total_samples = 0
+    time_last = time.time()
+    logs.main.write('* Training\n')
+    for curr_iter in range(args.niteration):
+        sharpen = sharpen_sched(curr_iter)
+        mod_factor = mod_factor_sched(curr_iter)
+        batch_chunk_len = buckets[np.random.randint(len(buckets))]
+        sub_batch_size = train.sub_batch_size_for_chunk(
+            args.min_sub_batch_size, args.chunk_len_max, batch_chunk_len)
+        if mesh is not None:
+            # round to multiple of device count for even sharding
+            per = max(1, sub_batch_size // jax.device_count())
+            sub_batch_size = per * jax.device_count()
+        max_seqlen = train.max_seqlen_for_chunk(
+            batch_chunk_len, stride, args.filter_path_buffer)
+
+        loss_sum = 0.0
+        for _ in range(args.sub_batches):
+            batch, rejections = train.sample_batch(
+                read_data, batch_chunk_len, sub_batch_size, max_seqlen,
+                alphabet_info, filter_params, reverse=args.reverse,
+                standardize=args.standardize, can_labels=can_labels,
+                mod_labels=mod_labels, log=logs.main)
+            for k, v in rejections.items():
+                rejection_dict[k] += v
+            if batch.signal.shape[1] < sub_batch_size:
+                # pad batch to static size with repeats for shape stability
+                batch = _pad_batch(batch, sub_batch_size)
+            if mesh is not None:
+                batch = train.shard_batch(batch, mesh)
+            params, opt_state, loss, grad_maxs = step_fn(
+                params, opt_state, batch, sharpen, mod_factor,
+                jnp.asarray(capper.thresholds))
+            loss_sum += float(loss)
+            total_samples += batch.signal.size
+            total_bases += int(np.sum(batch.seqlens))
+        fval = loss_sum / args.sub_batches
+        grad_maxs_np = np.asarray(grad_maxs)
+        prev_threshs = capper.thresholds.copy()
+        capper.update(grad_maxs_np)
+
+        if is_lead:
+            logs.batch.write(BATCH_TMPLT.format(
+                curr_iter + 1, fval,
+                ','.join(str(float(g)) for g in grad_maxs_np),
+                ','.join('NA' if not np.isfinite(t) else str(float(t))
+                         for t in prev_threshs),
+                float(schedule(curr_iter)), batch_chunk_len))
+        score_smoothed.update(fval)
+        logs.main.write('.')
+
+        if (curr_iter + 1) % DOTROWLENGTH == 0:
+            dt = time.time() - time_last
+            logs.main.write(MAIN_LOG_POLKA_TMPLT.format(
+                (curr_iter + 1) // DOTROWLENGTH, score_smoothed.value, dt,
+                total_samples / 1000.0 / dt, total_bases / 1000.0 / dt,
+                float(schedule(curr_iter))))
+            if args.full_filter_status:
+                for k, v in rejection_dict.items():
+                    logs.main.write(' {}:{} '.format(k, v))
+            else:
+                n_tot = sum(rejection_dict.values())
+                n_fail = n_tot - rejection_dict['pass']
+                logs.main.write('  {:.1%} chunks filtered'.format(
+                    n_fail / max(n_tot, 1)))
+            logs.main.write('\n')
+            time_last = time.time()
+            total_bases = total_samples = 0
+
+        if (curr_iter + 1) % args.save_every == 0 and is_lead:
+            saved = helpers.save_model(
+                args.outdir, net, params, model_source, model_kwargs,
+                metadata, (curr_iter + 1) // args.save_every,
+                optimizer_state=None)
+            logs.main.write('Model saved to {}.\n'.format(saved))
+            t0 = time.time()
+            vlosses, vbases = [], 0
+            for vb in reporting_batches:
+                vlosses.append(float(eval_loss(
+                    params, vb, args.sharpen.max, args.mod_factor.final)))
+                vbases += int(np.sum(vb.seqlens))
+            rloss = float(np.mean(vlosses)) if vlosses else float('nan')
+            dt = time.time() - t0
+            logs.main.write(MAIN_LOG_VAL_TMPLT.format(
+                curr_iter + 1, rloss, vbases / 1e6, dt, vbases / 1e3 / dt))
+            logs.validation.write(VAL_TMPLT.format(curr_iter + 1, rloss))
+            time_last = time.time()
+
+    if is_lead:
+        helpers.save_model(args.outdir, net, params, model_source,
+                           model_kwargs, metadata, index=None)
+        logs.main.write('\n* Training complete.\n')
+
+
+def _pad_batch(batch, target):
+    """Repeat-pad a short batch to the static sub-batch size (keeps XLA
+    shapes stable when the sampler comes up short)."""
+    from taiyaki_tpu.train import Batch
+    n = batch.signal.shape[1]
+    if n == 0:
+        raise RuntimeError('No chunks passed filters — cannot build batch. '
+                           'Check filter parameters.')
+    reps = [min(i, n - 1) for i in range(target)]
+    return Batch(
+        batch.signal[:, reps, :], batch.seqs[reps], batch.seqlens[reps],
+        None if batch.mod_cats is None else batch.mod_cats[reps])
+
+
+if __name__ == '__main__':
+    main(get_train_flipflop_parser().parse_args())

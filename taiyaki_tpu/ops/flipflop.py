@@ -1,0 +1,378 @@
+"""Flip-flop CRF loss and partition function — the core training numerics.
+
+TPU-native re-design of the reference's C/AVX forward-backward kernels
+(taiyaki/ctc/c_crf_flipflop.c, c_cat_mod_flipflop.c) and the torch/cupy
+partition function (taiyaki/layers.py:1253-1299, cupy_extensions/flipflop.py).
+
+Key design differences from the reference (same numerics, different layout):
+
+* The reference concatenates ragged sequences and walks per-read index
+  arrays on the CPU with OpenMP.  Here sequences are **padded** to a common
+  (bucketed) length and the whole batch advances through the lattice in a
+  single `lax.scan` over time — everything stays on device, eliminating the
+  reference's GPU->CPU->GPU round-trip per step
+  (bin/train_flipflop.py:162-173).
+* The gradient is defined via `jax.custom_vjp`: the backward pass re-runs
+  the forward recursion (recompute, not store — the tradeoff the reference
+  notes in a TODO in c_crf_flipflop.c) and walks a reverse scan emitting the
+  per-block posterior softmax over stay/move lattice transitions, exactly
+  the algorithm of crf_flipflop_grad_step (c_crf_flipflop.c:372-432).
+
+Numerics invariants preserved (SURVEY.md appendix):
+* per-block max-renormalization of the lattice (c_crf_flipflop.c:73-77);
+* paths start in the first sequence position; final score takes the last
+  position only (c_crf_flipflop.c:112-132);
+* cost = -score / nblk; sharpening multiplies scores pre-DP and divides
+  the cost post-DP (ctc.pyx:119,145); for cat_mod models only the canonical
+  transition columns are sharpened (ctc.pyx:265-269);
+* the returned gradient is the gradient evaluated at the *sharpened* scores
+  without post-division, matching FlipFlopCRF.backward (ctc.pyx:147-153).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from taiyaki_tpu import flipflopfings
+
+# Lattice value for impossible states.  Large enough to never win a max,
+# small enough that sums of T of them stay finite in float32.
+_NEG = -1e30
+
+
+def _nbase_from_ntrans(ntrans):
+    return flipflopfings.nbase_flipflop(ntrans)
+
+
+def make_seq_indices(seqs, nbase):
+    """Stay/move transition indices for a padded batch of flip-flop codes.
+
+    Device-side equivalent of flipflopfings.move_indices/stay_indices
+    applied per row.
+
+    Args:
+        seqs: int array [batch, npos] of flip-flop codes, padded arbitrarily
+            beyond each sequence's length (padding values must still be valid
+            codes, e.g. 0).
+        nbase: number of canonical bases.
+
+    Returns:
+        (stay_idx [batch, npos], move_idx [batch, npos-1]) int32 arrays.
+    """
+    seqs = jnp.asarray(seqs)
+    nff = 2 * nbase
+    stay_idx = seqs + jnp.minimum(seqs, nbase) * nff
+    move_idx = seqs[:, :-1] + jnp.minimum(seqs[:, 1:], nbase) * nff
+    return stay_idx.astype(jnp.int32), move_idx.astype(jnp.int32)
+
+
+def _gather_block_scores(scores_t, stay_idx, move_idx, modmove_idx,
+                         modmove_fact):
+    """Per-block stay/move lattice scores from one block's transition weights.
+
+    Args:
+        scores_t: [batch, nstate] transition weights for one block.
+        stay_idx: [batch, npos] indices of stay transitions.
+        move_idx: [batch, npos-1] indices of move transitions.
+        modmove_idx / modmove_fact: optional [batch, npos-1] modified-base
+            score indices and weights (cat_mod models), or None.
+
+    Returns:
+        (stay_sc [batch, npos], move_sc [batch, npos-1])
+    """
+    stay_sc = jnp.take_along_axis(scores_t, stay_idx, axis=1)
+    move_sc = jnp.take_along_axis(scores_t, move_idx, axis=1)
+    if modmove_idx is not None:
+        mod_sc = jnp.take_along_axis(scores_t, modmove_idx, axis=1)
+        move_sc = move_sc + modmove_fact * mod_sc
+    return stay_sc, move_sc
+
+
+def _forward_scores(lp, stay_idx, move_idx, modmove_idx, modmove_fact,
+                    seqlens, collect_lattice):
+    """Forward DP over the flip-flop lattice.
+
+    Args:
+        lp: [nblk, batch, nstate] transition weights (already sharpened).
+        stay_idx/move_idx/modmove_idx/modmove_fact: see make_seq_indices.
+        seqlens: [batch] int — actual sequence lengths (<= npos).
+        collect_lattice: also return the renormalized forward lattice before
+            each block, [nblk, batch, npos] (needed by the gradient pass).
+
+    Returns:
+        (score [batch], lattice or None)
+    """
+    nblk, nbatch, _ = lp.shape
+    npos = stay_idx.shape[1]
+    pos = jnp.arange(npos)[None, :]
+    valid = pos < seqlens[:, None]                        # [batch, npos]
+
+    fwd0 = jnp.where(pos == 0, 0.0, _NEG)
+    fwd0 = jnp.where(valid, fwd0, _NEG).astype(jnp.float32)
+    fwd0 = jnp.broadcast_to(fwd0, (nbatch, npos))
+
+    def step(carry, scores_t):
+        fwd, score = carry
+        stay_sc, move_sc = _gather_block_scores(
+            scores_t, stay_idx, move_idx, modmove_idx, modmove_fact)
+        stay_part = fwd + stay_sc
+        move_part = jnp.concatenate(
+            [jnp.full((nbatch, 1), _NEG, fwd.dtype),
+             fwd[:, :-1] + move_sc], axis=1)
+        new = jnp.logaddexp(stay_part, move_part)
+        new = jnp.where(valid, new, _NEG)
+        factor = jnp.max(new, axis=1)
+        new = jnp.where(valid, new - factor[:, None], _NEG)
+        return (new, score + factor), (fwd if collect_lattice else None)
+
+    (fwd_final, score), lattice = jax.lax.scan(
+        step, (fwd0, jnp.zeros(nbatch, jnp.float32)), lp)
+    last = jnp.clip(seqlens - 1, 0, npos - 1)
+    score = score + jnp.take_along_axis(fwd_final, last[:, None], axis=1)[:, 0]
+    return score, lattice
+
+
+def _grad_scores(lp, stay_idx, move_idx, modmove_idx, modmove_fact, seqlens):
+    """Score and d(score)/d(lp) via forward + reverse posterior pass.
+
+    Mirrors crf_flipflop_grad / cm_flipflop_grad: per block, the posterior
+    over the 2*npos-1 lattice transitions is the softmax of
+    fwd[blk] + bwd[blk+1] + transition score, scatter-added into the
+    transition-weight gradient (c_crf_flipflop.c:372-432).
+    """
+    nblk, nbatch, nstate = lp.shape
+    npos = stay_idx.shape[1]
+    pos = jnp.arange(npos)[None, :]
+    valid = pos < seqlens[:, None]
+    valid_move = pos[:, :-1] < (seqlens[:, None] - 1)
+    brange = jnp.arange(nbatch)[:, None]
+
+    score, fwd_lattice = _forward_scores(
+        lp, stay_idx, move_idx, modmove_idx, modmove_fact, seqlens,
+        collect_lattice=True)
+
+    # Backward lattice init: paths end at the final position.
+    last = jnp.clip(seqlens - 1, 0, npos - 1)
+    bwd0 = jnp.where((pos == last[:, None]) & valid, 0.0, _NEG)
+    bwd0 = jnp.broadcast_to(bwd0.astype(jnp.float32), (nbatch, npos))
+
+    def step(bwd_next, xs):
+        scores_t, fwd_curr = xs
+        stay_sc, move_sc = _gather_block_scores(
+            scores_t, stay_idx, move_idx, modmove_idx, modmove_fact)
+
+        # Posterior over this block's transitions (softmax over the
+        # 2*npos-1 stay+move lattice entries).
+        stay_terms = jnp.where(valid, fwd_curr + bwd_next + stay_sc, _NEG)
+        move_terms = jnp.where(
+            valid_move, fwd_curr[:, :-1] + bwd_next[:, 1:] + move_sc, _NEG)
+        terms = jnp.concatenate([stay_terms, move_terms], axis=1)
+        tmax = jnp.max(terms, axis=1, keepdims=True)
+        ex = jnp.exp(terms - tmax)
+        ex = jnp.where(terms > _NEG / 2, ex, 0.0)
+        denom = jnp.sum(ex, axis=1, keepdims=True)
+        post = jnp.where(denom > 0, ex / jnp.maximum(denom, 1e-38), 0.0)
+        post_stay, post_move = post[:, :npos], post[:, npos:]
+
+        grad_t = jnp.zeros((nbatch, nstate), jnp.float32)
+        grad_t = grad_t.at[brange, stay_idx].add(post_stay)
+        grad_t = grad_t.at[brange, move_idx].add(post_move)
+        if modmove_idx is not None:
+            grad_t = grad_t.at[brange, modmove_idx].add(
+                post_move * modmove_fact)
+
+        # Backward recursion to the previous block boundary.
+        stay_part = stay_sc + bwd_next
+        move_part = jnp.concatenate(
+            [move_sc + bwd_next[:, 1:],
+             jnp.full((nbatch, 1), _NEG, bwd_next.dtype)], axis=1)
+        new = jnp.logaddexp(stay_part, move_part)
+        new = jnp.where(valid, new, _NEG)
+        factor = jnp.max(new, axis=1, keepdims=True)
+        new = jnp.where(valid, new - factor, _NEG)
+        return new, grad_t
+
+    _, grad = jax.lax.scan(step, bwd0, (lp, fwd_lattice), reverse=True)
+    return score, grad
+
+
+def _masked_cost(score, seqlens, nblk):
+    """cost = -score / nblk; zero for empty sequences (c_crf_flipflop.c:270)."""
+    cost = -score / nblk
+    return jnp.where(seqlens > 0, cost, 0.0)
+
+
+# -- canonical flip-flop loss ------------------------------------------------
+
+@jax.custom_vjp
+def _crf_loss_core(lp, stay_idx, move_idx, seqlens):
+    nblk = lp.shape[0]
+    score, _ = _forward_scores(lp, stay_idx, move_idx, None, None, seqlens,
+                               collect_lattice=False)
+    return _masked_cost(score, seqlens, nblk)
+
+
+def _crf_loss_fwd(lp, stay_idx, move_idx, seqlens):
+    nblk = lp.shape[0]
+    score, grad = _grad_scores(lp, stay_idx, move_idx, None, None, seqlens)
+    cost = _masked_cost(score, seqlens, nblk)
+    return cost, (grad, seqlens, nblk)
+
+
+def _crf_loss_bwd(res, g):
+    grad, seqlens, nblk = res
+    # d(cost)/d(lp) = -posterior/nblk, zeroed for empty sequences.
+    glp = (-grad / nblk) * jnp.where(seqlens > 0, g, 0.0)[None, :, None]
+    return glp, None, None, None
+
+
+_crf_loss_core.defvjp(_crf_loss_fwd, _crf_loss_bwd)
+
+
+def crf_flipflop_loss(logprob, seqs, seqlens, sharpfact=1.0):
+    """Flip-flop CRF negative-log-conditional-probability per batch element.
+
+    TPU-native equivalent of ctc.crf_flipflop_loss (taiyaki/ctc/ctc.pyx:116).
+
+    Args:
+        logprob: [nblk, batch, nstate] float transition weights (nstate =
+            2*nbase*(nbase+1); NOT normalized — pair with flipflop_logz).
+        seqs: [batch, npos] int flip-flop codes, padded to a common length.
+        seqlens: [batch] int actual sequence lengths.
+        sharpfact: sharpening factor applied to scores pre-DP; cost is
+            divided by it post-DP.
+
+    Returns:
+        [batch] float32 costs = -score / nblk (per-block mean, making
+        gradients comparable across chunk lengths; train_flipflop.py:178-182).
+    """
+    ntrans = logprob.shape[2]
+    nbase = _nbase_from_ntrans(ntrans)
+    stay_idx, move_idx = make_seq_indices(seqs, nbase)
+    lp = (sharpfact * logprob).astype(jnp.float32)
+    return _crf_loss_core(lp, stay_idx, move_idx,
+                          jnp.asarray(seqlens)) / sharpfact
+
+
+# -- categorical-modified-base flip-flop loss --------------------------------
+
+@jax.custom_vjp
+def _cat_mod_loss_core(lp, stay_idx, move_idx, modmove_idx, modmove_fact,
+                       seqlens):
+    nblk = lp.shape[0]
+    score, _ = _forward_scores(lp, stay_idx, move_idx, modmove_idx,
+                               modmove_fact, seqlens, collect_lattice=False)
+    return _masked_cost(score, seqlens, nblk)
+
+
+def _cat_mod_loss_fwd(lp, stay_idx, move_idx, modmove_idx, modmove_fact,
+                      seqlens):
+    nblk = lp.shape[0]
+    score, grad = _grad_scores(lp, stay_idx, move_idx, modmove_idx,
+                               modmove_fact, seqlens)
+    cost = _masked_cost(score, seqlens, nblk)
+    return cost, (grad, seqlens, nblk)
+
+
+def _cat_mod_loss_bwd(res, g):
+    grad, seqlens, nblk = res
+    glp = (-grad / nblk) * jnp.where(seqlens > 0, g, 0.0)[None, :, None]
+    return glp, None, None, None, None, None
+
+
+_cat_mod_loss_core.defvjp(_cat_mod_loss_fwd, _cat_mod_loss_bwd)
+
+
+def cat_mod_flipflop_loss(logprob, seqs, seqlens, mod_cats, can_mods_offsets,
+                          mod_cat_weights, sharpfact=1.0):
+    """Flip-flop CRF loss with categorical modified-base scores.
+
+    TPU-native equivalent of ctc.cat_mod_flipflop_loss
+    (taiyaki/ctc/ctc.pyx:258-312).  Each *move* into sequence position p
+    additionally accrues weight * logprob[mod_column(p)], where the mod
+    column encodes (canonical base of p, mod category of p) at offsets
+    >= 2*nbase*(nbase+1) in the output layer.
+
+    Sharpening applies only to the canonical transition columns; the
+    returned gradient matches the reference's convention of being evaluated
+    at the sharpened scores (ctc.pyx:265-269,300-312).
+
+    Args:
+        logprob: [nblk, batch, nstate] with nstate = 2*nbase*(nbase+1) + 1 +
+            total mod count.
+        seqs: [batch, npos] padded flip-flop codes.
+        seqlens: [batch] sequence lengths.
+        mod_cats: [batch, npos] mod category per position (0 = canonical).
+        can_mods_offsets: [nbase + 1] int — offset of each canonical base's
+            group within the mod score stream (cumsum of 1 + nmods).
+        mod_cat_weights: [1 + total mods] float per-mod loss weights.
+        sharpfact: canonical-column sharpening factor.
+
+    Returns:
+        [batch] float32 costs.
+    """
+    ntrans = logprob.shape[2]
+    can_mods_offsets = jnp.asarray(can_mods_offsets)
+    n_can_trans = ntrans - int(can_mods_offsets[-1])
+    nbase = _nbase_from_ntrans(n_can_trans)
+
+    stay_idx, move_idx = make_seq_indices(seqs, nbase)
+    # Mod score column for each *entered* position p >= 1.
+    mod_seq = (can_mods_offsets[jnp.mod(seqs[:, 1:], nbase)]
+               + mod_cats[:, 1:])
+    modmove_idx = (n_can_trans + mod_seq).astype(jnp.int32)
+    modmove_fact = jnp.asarray(mod_cat_weights)[mod_seq].astype(jnp.float32)
+
+    trans_sharp = jnp.where(jnp.arange(ntrans) < n_can_trans, sharpfact, 1.0)
+    lp = (logprob * trans_sharp).astype(jnp.float32)
+    return _cat_mod_loss_core(lp, stay_idx, move_idx, modmove_idx,
+                              modmove_fact, jnp.asarray(seqlens)) / sharpfact
+
+
+# -- partition function ------------------------------------------------------
+
+def flipflop_logz(scores):
+    """Log partition function of the flip-flop transition lattice.
+
+    Differentiable scan equivalent of layers.log_partition_flipflop
+    (taiyaki/layers.py:1277-1299) / the cupy LogZ kernel
+    (cupy_extensions/flipflop.py:338-354).  The 2*nbase state vector is
+    advanced one block at a time: scores reshape to
+    [batch, nbase+1, 2*nbase] destination groups — group d < nbase collects
+    all sources into flip base d; group nbase holds flip->flop (same base)
+    moves and flop stays.
+
+    Args:
+        scores: [nblk, batch, nstate] transition weights (canonical columns
+            only for cat_mod models).
+
+    Returns:
+        [batch] float32 log partition values.
+    """
+    nblk, nbatch, ntrans = scores.shape
+    nbase = _nbase_from_ntrans(ntrans)
+
+    init = jnp.concatenate(
+        [jnp.zeros((nbatch, nbase), jnp.float32),
+         jnp.full((nbatch, nbase), _NEG, jnp.float32)], axis=1)
+    logz0 = jax.nn.logsumexp(init, axis=1)
+    init = init - logz0[:, None]
+
+    def step(carry, scores_t):
+        fwd, logz = carry
+        curr = fwd[:, None, :] + scores_t.reshape(nbatch, nbase + 1, 2 * nbase)
+        flip_states = jax.nn.logsumexp(curr[:, :nbase, :], axis=2)
+        flop_states = jnp.logaddexp(curr[:, nbase, :nbase],
+                                    curr[:, nbase, nbase:])
+        new = jnp.concatenate([flip_states, flop_states], axis=1)
+        factor = jax.nn.logsumexp(new, axis=1)
+        return (new - factor[:, None], logz + factor), None
+
+    (_, logz), _ = jax.lax.scan(
+        step, (init, logz0), scores.astype(jnp.float32))
+    return logz
+
+
+# Name used by the reference's training loop (layers.flipflop_logpartition).
+log_partition_flipflop = flipflop_logz

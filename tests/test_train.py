@@ -1,0 +1,113 @@
+"""End-to-end training smoke tests at library level: tiny GRU model,
+synthetic mapped reads, a few optimizer steps — loss must drop.  Also
+exercises the data-parallel sharded step on the 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+
+from taiyaki_tpu import train
+from taiyaki_tpu.alphabet import AlphabetInfo
+from taiyaki_tpu.data import chunk_selection
+from taiyaki_tpu.data.signal_mapping import SignalMapping
+from taiyaki_tpu.models import mGru_flipflop
+
+
+def synth_reads(rng, nreads=6, nbases=300, mean_dwell=8):
+    """Synthetic reads whose signal is a noisy square wave per base —
+    learnable structure so a few steps of training visibly reduce loss."""
+    reads = []
+    levels = np.array([-1.0, -0.3, 0.4, 1.1])
+    for i in range(nreads):
+        reference = rng.integers(0, 4, size=nbases).astype(np.int16)
+        dwells = np.maximum(2, rng.poisson(mean_dwell, size=nbases))
+        ref_to_sig = np.concatenate([[0], np.cumsum(dwells)]).astype(np.int32)
+        siglen = int(ref_to_sig[-1])
+        current = np.repeat(levels[reference], dwells)
+        current = current + rng.normal(0, 0.15, size=siglen)
+        dacs = np.clip(current * 1000, -32000, 32000).astype(np.int16)
+        reads.append(SignalMapping(
+            ref_to_sig, reference, read_id="synth-{}".format(i), Dacs=dacs,
+            shift_frompA=0.0, scale_frompA=1000.0, range=1.0, offset=0.0,
+            digitisation=1.0))
+    return reads
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(777)
+    np.random.seed(777)
+    reads = synth_reads(rng)
+    ai = AlphabetInfo("ACGT", "ACGT")
+    net = mGru_flipflop.network(size=12, winlen=9, stride=2)
+    params = net.init(rng)
+    fp = chunk_selection.FILTER_PARAMETERS(
+        filter_mean_dwell=10.0, filter_max_dwell=20.0,
+        filter_min_pass_fraction=0.1, median_meandwell=8.0,
+        mad_meandwell=3.0, model_stride=2, path_buffer=1.1)
+    return reads, ai, net, params, fp
+
+
+def run_steps(setup, mesh, niter=8):
+    reads, ai, net, params, fp = setup
+    chunk_len, batch_size = 256, 8
+    max_seqlen = train.max_seqlen_for_chunk(chunk_len, 2, 1.1)
+    opt, schedule = train.make_optimizer(
+        lr_max=4e-3, niteration=niter, warmup_batches=2, lr_warmup=1e-4,
+        lr_min=1e-4)
+    opt_state = opt.init(params)
+    step = train.jit_train_step(
+        train.make_train_step(net, opt), mesh=mesh)
+    nleaves = len(jax.tree.leaves(params))
+    capper = train.GradientCapper(nleaves, n_mads=2, window=4)
+    losses = []
+    for it in range(niter):
+        batch, rejections = train.sample_batch(
+            reads, chunk_len, batch_size, max_seqlen, ai, fp)
+        assert batch.signal.shape == (chunk_len, batch_size, 1)
+        if mesh is not None:
+            batch = train.shard_batch(batch, mesh)
+        params, opt_state, loss, grad_maxs = step(
+            params, opt_state, batch, 1.0, 1.0,
+            jax.numpy.asarray(capper.thresholds))
+        capper.update(np.asarray(grad_maxs))
+        losses.append(float(loss))
+    return losses
+
+
+def test_single_device_training_reduces_loss(setup):
+    losses = run_steps(setup, mesh=None)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def test_data_parallel_training_on_mesh(setup):
+    devices = jax.devices()
+    assert len(devices) == 8, "conftest should provide 8 CPU devices"
+    mesh = jax.sharding.Mesh(np.array(devices), ("data",))
+    losses = run_steps(setup, mesh, niter=4)
+    assert np.isfinite(losses).all()
+
+
+def test_chunk_len_buckets():
+    buckets = train.chunk_len_buckets(3000, 8000, 5, nbuckets=8)
+    assert all(b % 5 == 0 for b in buckets)
+    assert buckets[0] >= 3000 - 5 and buckets[-1] <= 8000
+    assert len(buckets) == 8
+    # degenerate range collapses to one bucket
+    assert train.chunk_len_buckets(400, 400, 2) == [400]
+
+
+def test_sub_batch_size_rule():
+    # reference: min_sub_batch_size * chunk_len_max / chunk_len rounded
+    assert train.sub_batch_size_for_chunk(128, 8000, 4000) == 256
+    assert train.sub_batch_size_for_chunk(128, 8000, 8000) == 128
+
+
+def test_onecycle_schedule_shape():
+    _, sched = train.make_optimizer(
+        lr_max=4e-3, niteration=100, warmup_batches=10, lr_warmup=1e-4,
+        lr_min=1e-5)
+    assert abs(float(sched(0)) - 1e-4) < 1e-6
+    assert abs(float(sched(10)) - 4e-3) < 1e-4
+    assert float(sched(99)) < 1.2e-5
