@@ -1,0 +1,145 @@
+"""Minimal SAM/BAM alignment reading (no pysam dependency).
+
+Provides just what the pipeline needs (bin/get_refs_from_sam.py,
+misc/assess_alignment.py): iterate alignment records with query name, flag,
+reference name, reference span, query length/alignment length and CIGAR.
+
+SAM is parsed as text; BAM via the BGZF container (concatenated gzip
+members — handled natively by Python's gzip) and the BAM binary record
+layout from the SAM spec.
+"""
+
+import gzip
+import re
+import struct
+
+_CIGAR_RE = re.compile(r"(\d+)([MIDNSHP=X])")
+_BAM_CIGAR_OPS = "MIDNSHP=X"
+_SEQ_CODES = "=ACMGRSVTWYHKDBN"
+
+
+class Alignment:
+    """One alignment record."""
+
+    __slots__ = ("query_name", "flag", "reference_name", "reference_start",
+                 "cigar", "seq", "mapq")
+
+    def __init__(self, query_name, flag, reference_name, reference_start,
+                 cigar, seq, mapq=0):
+        self.query_name = query_name
+        self.flag = flag
+        self.reference_name = reference_name
+        self.reference_start = reference_start   # 0-based
+        self.cigar = cigar                       # list of (op, length)
+        self.seq = seq
+        self.mapq = mapq
+
+    @property
+    def is_unmapped(self):
+        return self.flag & 0x4 != 0 or self.reference_name is None
+
+    @property
+    def is_reverse(self):
+        return self.flag & 0x10 != 0
+
+    @property
+    def query_length(self):
+        """Full query length including soft (and hard) clips."""
+        n = sum(ln for op, ln in self.cigar if op in "MIS=X")
+        n += sum(ln for op, ln in self.cigar if op == "H")
+        if n == 0 and self.seq:
+            n = len(self.seq)
+        return n
+
+    @property
+    def query_alignment_length(self):
+        """Aligned query bases (M/I/=/X)."""
+        return sum(ln for op, ln in self.cigar if op in "MI=X")
+
+    @property
+    def reference_length(self):
+        """Reference span (M/D/N/=/X)."""
+        return sum(ln for op, ln in self.cigar if op in "MDN=X")
+
+    @property
+    def reference_end(self):
+        return self.reference_start + self.reference_length
+
+
+def parse_cigar(cigar_str):
+    if cigar_str == "*" or not cigar_str:
+        return []
+    return [(op, int(n)) for n, op in _CIGAR_RE.findall(cigar_str)]
+
+
+def _iter_sam_text(fh):
+    for line in fh:
+        if line.startswith("@"):
+            continue
+        fields = line.rstrip("\n").split("\t")
+        if len(fields) < 11:
+            continue
+        flag = int(fields[1])
+        rname = None if fields[2] == "*" else fields[2]
+        yield Alignment(
+            query_name=fields[0], flag=flag, reference_name=rname,
+            reference_start=int(fields[3]) - 1,
+            cigar=[(op, n) for op, n in parse_cigar(fields[5])],
+            seq=None if fields[9] == "*" else fields[9],
+            mapq=int(fields[4]))
+
+
+def _iter_bam(fh):
+    data = gzip.open(fh, "rb").read()
+    assert data[:4] == b"BAM\x01", "Not a BAM file"
+    pos = 4
+    l_text, = struct.unpack_from("<i", data, pos)
+    pos += 4 + l_text
+    n_ref, = struct.unpack_from("<i", data, pos)
+    pos += 4
+    refs = []
+    for _ in range(n_ref):
+        l_name, = struct.unpack_from("<i", data, pos)
+        pos += 4
+        refs.append(data[pos:pos + l_name - 1].decode())
+        pos += l_name
+        pos += 4  # l_ref
+    while pos < len(data):
+        block_size, = struct.unpack_from("<i", data, pos)
+        pos += 4
+        rec = data[pos:pos + block_size]
+        pos += block_size
+        (ref_id, pos0, l_read_name, mapq, _bin, n_cigar, flag, l_seq,
+         _next_ref, _next_pos, _tlen) = struct.unpack_from(
+             "<iiBBHHHiiii", rec, 0)
+        off = 32
+        name = rec[off:off + l_read_name - 1].decode()
+        off += l_read_name
+        cigar = []
+        for _ in range(n_cigar):
+            c, = struct.unpack_from("<I", rec, off)
+            off += 4
+            cigar.append((_BAM_CIGAR_OPS[c & 0xF], c >> 4))
+        seq_bytes = rec[off:off + (l_seq + 1) // 2]
+        off += (l_seq + 1) // 2
+        seq = "".join(
+            _SEQ_CODES[(b >> 4) if i % 2 == 0 else (b & 0xF)]
+            for i in range(l_seq)
+            for b in [seq_bytes[i // 2]])
+        yield Alignment(
+            query_name=name, flag=flag,
+            reference_name=refs[ref_id] if ref_id >= 0 else None,
+            reference_start=pos0, cigar=cigar,
+            seq=seq if l_seq else None, mapq=mapq)
+
+
+def iter_alignments(filename):
+    """Iterate Alignment records from a SAM or BAM file (auto-detected)."""
+    with open(filename, "rb") as probe:
+        magic = probe.read(2)
+    if magic == b"\x1f\x8b":
+        with open(filename, "rb") as fh:
+            yield from _iter_bam(fh)
+    else:
+        with open(filename) as fh:
+            yield from _iter_sam_text(fh)
