@@ -1,0 +1,263 @@
+#!/usr/bin/env python3
+"""Basecall reads with a trained flip-flop model
+(reference: bin/basecall.py).
+
+TPU-native design: one process drives the accelerator; per-read chunks are
+padded to the fixed chunk size so the network + Viterbi decode compile
+once, and host code does only stitching and string assembly.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from taiyaki_tpu.utils.cmdargs import (  # noqa: E402
+    AutoBool, FileExists, NonNegative, ParseToNamedTuple, Positive)
+from taiyaki_tpu.utils.common_cmdargs import add_common_command_args  # noqa
+
+
+def get_parser():
+    from taiyaki_tpu import basecall_helpers
+
+    parser = argparse.ArgumentParser(
+        description="Basecall reads using a taiyaki_tpu model",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    add_common_command_args(
+        parser, """alphabet device input_folder input_strand_list jobs
+        limit output quiet recursive version""".split())
+    parser.add_argument(
+        "--beam", default=None, metavar=("width", "guided"), nargs=2,
+        type=(int, bool), action=ParseToNamedTuple,
+        help="Use beam search decoding")
+    parser.add_argument(
+        "--chunk_size", type=Positive(int), metavar="blocks",
+        default=basecall_helpers.DEFAULT_CHUNK_SIZE,
+        help="Size of signal chunks sent to device is chunk_size * model "
+             "stride")
+    parser.add_argument(
+        "--fastq", default=False, action=AutoBool,
+        help="Write output in fastq format (default is fasta)")
+    parser.add_argument(
+        "--max_concurrent_chunks", type=Positive(int), default=128,
+        help="Maximum number of chunks to call at once")
+    parser.add_argument(
+        "--overlap", type=NonNegative(int), metavar="blocks",
+        default=basecall_helpers.DEFAULT_OVERLAP,
+        help="Overlap between signal chunks sent to device")
+    parser.add_argument(
+        "--posterior", default=True, action=AutoBool,
+        help="Use posterior-viterbi decoding")
+    parser.add_argument(
+        "--qscore_offset", type=float, default=0.0,
+        help="Offset to apply to q scores in fastq (after scale)")
+    parser.add_argument(
+        "--qscore_scale", type=float, default=1.0,
+        help="Scaling factor to apply to q scores in fastq")
+    parser.add_argument(
+        "--reverse", default=False, action=AutoBool,
+        help="Reverse sequences in output")
+    parser.add_argument(
+        "--scaling", action=FileExists, default=None,
+        help="Path to TSV containing per-read scaling params")
+    parser.add_argument(
+        "--temperature", default=1.0, type=float,
+        help="Scaling factor applied to network outputs before decoding")
+    parser.add_argument(
+        "model", action=FileExists,
+        help="Model checkpoint file to use for basecalling")
+    return parser
+
+
+def med_mad_norm(x, dtype="f4"):
+    from taiyaki_tpu.maths import med_mad
+    med, mad = med_mad(x)
+    return ((x - med) / mad).astype(dtype)
+
+
+def get_signal(read_filename, read_id):
+    from taiyaki_tpu.data import fast5utils
+    from taiyaki_tpu.data.signal import Signal
+    try:
+        with fast5utils.get_fast5_file(read_filename) as f5:
+            return Signal(f5.get_read(read_id)).current
+    except Exception as e:
+        sys.stderr.write(
+            "Unable to obtain signal for {} from {}.\n{}\n".format(
+                read_id, read_filename, repr(e)))
+        return None
+
+
+class Basecaller:
+    """Jit-once basecalling engine: forward + (posterior) + Viterbi for a
+    fixed [chunk_size, batch] shape."""
+
+    def __init__(self, net, params, n_can_state, posterior, temperature,
+                 max_batch):
+        import jax
+        import jax.numpy as jnp
+        from taiyaki_tpu.ops import decode as dec
+
+        self.params = params
+        self.max_batch = max_batch
+
+        def call_chunks(params, chunks):
+            trans = net.apply(params, chunks)[:, :, :n_can_state]
+            trans = trans * temperature
+            if posterior:
+                trans = jnp.log(dec.flipflop_make_trans(trans) + 1e-8)
+            _, _, paths = dec.flipflop_viterbi(trans)
+            return trans, paths
+
+        self._fn = jax.jit(call_chunks)
+
+    def __call__(self, chunks):
+        """chunks [T, nchunk, 1] -> (trans [nblk, nchunk, S],
+        paths [nblk+1, nchunk]), padding the batch to max_batch so the
+        program compiles once."""
+        n = chunks.shape[1]
+        out_trans, out_paths = [], []
+        for i in range(0, n, self.max_batch):
+            part = chunks[:, i:i + self.max_batch]
+            k = part.shape[1]
+            if k < self.max_batch:
+                pad = np.repeat(part[:, -1:], self.max_batch - k, axis=1)
+                part = np.concatenate([part, pad], axis=1)
+            trans, paths = self._fn(self.params, part)
+            out_trans.append(np.asarray(trans[:, :k]))
+            out_paths.append(np.asarray(paths[:, :k]))
+        return (np.concatenate(out_trans, axis=1),
+                np.concatenate(out_paths, axis=1))
+
+
+def process_read(read_filename, read_id, caller, chunk_size, overlap,
+                 read_params, stride, alphabet, reverse_model, fastq,
+                 qscore_scale, qscore_offset):
+    from taiyaki_tpu import basecall_helpers, qscores
+    from taiyaki_tpu.flipflopfings import path_to_str
+
+    signal = get_signal(read_filename, read_id)
+    if signal is None:
+        return None, None, 0
+    if reverse_model:
+        signal = signal[::-1]
+    if read_params is None:
+        normed = med_mad_norm(signal)
+    else:
+        normed = ((signal - read_params["shift"])
+                  / read_params["scale"]).astype("f4")
+
+    chunks, chunk_starts, chunk_ends = basecall_helpers.chunk_read(
+        normed, chunk_size, overlap)
+    # Pad a short (single-chunk) read up to the static chunk size.
+    true_len = chunks.shape[0]
+    if true_len < chunk_size:
+        pad = np.zeros((chunk_size - true_len, 1, 1), dtype=np.float32)
+        chunks = np.concatenate([chunks, pad], axis=0)
+
+    trans, paths = caller(chunks)
+    if true_len < chunk_size:
+        nblk = -(-true_len // stride)
+        trans = trans[:nblk]
+        paths = paths[:nblk + 1]
+
+    best_path = basecall_helpers.stitch_chunks(
+        paths, chunk_starts, chunk_ends, stride)
+
+    qstring = None
+    if fastq:
+        chunk_errprobs = qscores.errprobs_from_trans(trans, paths)
+        errprobs = basecall_helpers.stitch_chunks(
+            chunk_errprobs, chunk_starts, chunk_ends, stride)
+        qstring = qscores.path_errprobs_to_qstring(
+            errprobs, best_path, qscore_scale, qscore_offset)
+
+    basecall = path_to_str(best_path, alphabet=alphabet,
+                           include_first_source=False)
+    return basecall, qstring, len(signal)
+
+
+def main():
+    args = get_parser().parse_args()
+    import jax
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from taiyaki_tpu.data import fast5utils
+    from taiyaki_tpu.flipflopfings import nstate_flipflop
+    from taiyaki_tpu.prepare_mapping_funcs import (
+        get_per_read_params_dict_from_tsv)
+    from taiyaki_tpu.utils import helpers
+    from taiyaki_tpu.utils.helpers import Progress, open_file_or_stdout
+
+    if args.beam is not None:
+        sys.exit("* Beam search decoding is not yet available in this "
+                 "build; rerun without --beam for Viterbi decoding.")
+
+    sys.stderr.write("* Initializing reads file search.\n")
+    fast5_reads = fast5utils.iterate_fast5_reads(
+        args.input_folder, limit=args.limit,
+        strand_list=args.input_strand_list, recursive=args.recursive)
+
+    if args.scaling is not None:
+        sys.stderr.write("* Loading read scaling parameters from {}.\n"
+                         .format(args.scaling))
+        all_read_params = get_per_read_params_dict_from_tsv(args.scaling)
+        fast5_reads = [rec for rec in fast5_reads
+                       if rec[1] in all_read_params]
+    else:
+        all_read_params = {}
+
+    net, params, _, metadata, _, _ = helpers.load_model(args.model)
+    if params is None:
+        sys.exit("* Error: pass a .checkpoint (a model description .py has "
+                 "no trained weights)")
+    stride = net.stride
+    chunk_size = args.chunk_size * stride
+    overlap = args.overlap * stride
+    n_can_state = nstate_flipflop(len(args.alphabet))
+    caller = Basecaller(net, params, n_can_state, args.posterior,
+                        args.temperature, args.max_concurrent_chunks)
+
+    sys.stderr.write("* Calling reads.\n")
+    nbase = ncalled = nread = nsample = 0
+    t0 = time.time()
+    progress = Progress(quiet=args.quiet)
+    startcharacter = "@" if args.fastq else ">"
+    with open_file_or_stdout(args.output) as fh:
+        for read_filename, read_id in fast5_reads:
+            read_params = all_read_params.get(read_id)
+            basecall, qstring, read_nsample = process_read(
+                read_filename, read_id, caller, chunk_size, overlap,
+                read_params, stride, args.alphabet,
+                metadata.get("reverse", False), args.fastq,
+                args.qscore_scale, args.qscore_offset)
+            if basecall is not None and len(basecall) > 0:
+                fh.write("{}{}\n{}\n".format(
+                    startcharacter, read_id,
+                    basecall[::-1] if args.reverse else basecall))
+                nbase += len(basecall)
+                ncalled += 1
+                if args.fastq:
+                    fh.write("+\n{}\n".format(
+                        qstring[::-1] if args.reverse else qstring))
+            nread += 1
+            nsample += read_nsample
+            progress.step()
+    total_time = time.time() - t0
+    sys.stderr.write("* Called {} reads in {:.2f}s\n".format(
+        nread, total_time))
+    sys.stderr.write("* {:7.2f} kbase / s\n".format(
+        nbase / total_time / 1000.0))
+    sys.stderr.write("* {:7.2f} ksample / s\n".format(
+        nsample / total_time / 1000.0))
+    sys.stderr.write("* {} reads failed.\n".format(nread - ncalled))
+
+
+if __name__ == "__main__":
+    main()
