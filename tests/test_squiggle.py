@@ -1,0 +1,157 @@
+"""Squiggle-match DTW tests: brute-force path enumeration on tiny cases,
+finite-difference gradients, batch padding independence, and Viterbi path
+recovery on synthetic squiggles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from taiyaki_tpu.ops import squiggle as sq
+
+
+def laplace_logpdf(x, loc, logscale):
+    scale = np.exp(logscale)
+    return -np.abs(x - loc) / scale - logscale - np.log(2.0)
+
+
+def brute_force_score(params, signal, back_prob):
+    """Enumerate all state paths for a tiny model (npos small)."""
+    npos = len(params)
+    loc, logscale, rate = params[:, 0], params[:, 1], params[:, 2]
+    move_p = (1 - back_prob) * (0.5 * (1 + np.tanh(rate / 2)))
+    from itertools import product
+    nstate = 2 * npos
+    total = -np.inf
+
+    def trans_lp(s, s2):
+        # states 0..npos-1 normal, npos..2npos-1 back
+        if s < npos and s2 < npos:
+            if s2 == s:
+                return np.log1p(-move_p[s] - back_prob)
+            if s2 == s + 1:
+                return np.log(move_p[s2])
+            return -np.inf
+        if s < npos and s2 >= npos:
+            return np.log(back_prob) if s2 - npos == s - 1 else -np.inf
+        if s >= npos and s2 >= npos:
+            return np.log(0.5) if s2 == s else -np.inf
+        return np.log(0.5) if s2 == (s - npos) + 1 else -np.inf
+
+    T = len(signal)
+    for path in product(range(nstate), repeat=T):
+        lp = 0.0
+        prev = 0  # must start at position 0
+        ok = True
+        for t, st in enumerate(path):
+            if t == 0:
+                if st != 0 and not (
+                        st == npos - 1 and False):
+                    # first transition is from state 0
+                    pass
+                tl = trans_lp(0, st)
+            else:
+                tl = trans_lp(path[t - 1], st)
+            if not np.isfinite(tl):
+                ok = False
+                break
+            pos = st if st < npos else st - npos
+            lp += tl + laplace_logpdf(signal[t], loc[pos], logscale[pos])
+        if ok and path[-1] == npos - 1:
+            total = np.logaddexp(total, lp)
+    return total
+
+
+def test_cost_matches_brute_force():
+    rng = np.random.default_rng(2)
+    npos, T = 3, 4
+    params = rng.normal(size=(npos, 1, 3)).astype(np.float32)
+    signal = rng.normal(size=(T, 1)).astype(np.float32)
+    back_prob = 0.05
+    cost = float(sq.squiggle_match_cost(
+        params, signal, np.array([T]), back_prob)[0])
+    brute = brute_force_score(params[:, 0], signal[:, 0], back_prob)
+    assert abs(-cost - brute) < 1e-4, (-cost, brute)
+
+
+def test_gradient_finite_difference():
+    rng = np.random.default_rng(3)
+    npos, T, B = 5, 12, 2
+    params = jnp.asarray(rng.normal(size=(npos, B, 3)).astype(np.float32))
+    signals = jnp.asarray(rng.normal(size=(T, B)).astype(np.float32))
+    siglens = jnp.asarray([T, T - 3])
+
+    def loss(p):
+        return jnp.sum(sq.squiggle_match_cost(p, signals, siglens, 1e-3))
+
+    g = jax.grad(loss)(params)
+    dx = rng.normal(size=params.shape).astype(np.float32) * 1e-3
+    actual = float(loss(params + dx)) - float(loss(params))
+    predicted = float(jnp.sum(g * dx))
+    assert abs(actual - predicted) / abs(float(loss(params))) < 1e-4
+
+
+def test_padding_independence():
+    rng = np.random.default_rng(4)
+    npos, T = 4, 10
+    params = rng.normal(size=(npos, 1, 3)).astype(np.float32)
+    signal = rng.normal(size=(T, 1)).astype(np.float32)
+    c1 = float(sq.squiggle_match_cost(params, signal, np.array([T]),
+                                      1e-3)[0])
+    padded = np.concatenate([signal, np.full((7, 1), 99.0, np.float32)])
+    c2 = float(sq.squiggle_match_cost(params, padded, np.array([T]),
+                                      1e-3)[0])
+    assert abs(c1 - c2) < 1e-5
+
+
+def test_embed_sequence():
+    e = sq.embed_sequence("ACGT")
+    assert e.shape == (4, 3)
+    # vertices of a regular tetrahedron: equal pairwise distances
+    d01 = np.linalg.norm(e[0] - e[1])
+    d23 = np.linalg.norm(e[2] - e[3])
+    assert abs(d01 - d23) < 1e-6
+    e2 = sq.embed_sequence(np.array([0, 1, 2, 3]), alphabet=None)
+    np.testing.assert_array_equal(e, e2)
+
+
+def test_viterbi_path_recovers_alignment():
+    """Synthetic squiggle: 6 positions with distinct levels, each dwelling
+    ~4 samples; Viterbi should recover the position sequence."""
+    rng = np.random.default_rng(5)
+    npos = 6
+    levels = np.linspace(-2, 2, npos)
+    params = np.stack([levels, np.full(npos, -1.5),
+                       np.zeros(npos)], axis=1).astype(np.float32)
+    dwells = [4, 3, 5, 4, 3, 4]
+    signal = np.concatenate([
+        np.full(d, levels[i]) + rng.normal(0, 0.05, d)
+        for i, d in enumerate(dwells)]).astype(np.float32)
+    score, path = sq.squiggle_match_viterbi_path(params, signal, 1e-6)
+    # path must be monotone over positions 0..npos-1
+    assert path[0] in (-1, 0)
+    valid = path[path >= 0]
+    assert valid[0] == 0 and valid[-1] == npos - 1
+    assert np.all(np.diff(valid) >= 0)
+    # dwell structure approximately recovered
+    for i, d in enumerate(dwells):
+        assert abs(int(np.sum(valid == i)) - d) <= 2
+
+
+def test_viterbi_glocal_clips():
+    """With localpen small, garbage head/tail samples are clipped (-1)."""
+    rng = np.random.default_rng(6)
+    npos = 4
+    levels = np.array([-1.5, -0.5, 0.5, 1.5])
+    params = np.stack([levels, np.full(npos, -2.0),
+                       np.zeros(npos)], axis=1).astype(np.float32)
+    core = np.repeat(levels, 3)
+    signal = np.concatenate([np.full(4, 8.0), core,
+                             np.full(4, -8.0)]).astype(np.float32)
+    signal = (signal + rng.normal(0, 0.02, len(signal))).astype(np.float32)
+    score, path = sq.squiggle_match_viterbi_path(
+        params, signal, 1e-6, localpen=1.0, minscore=8.0)
+    assert np.all(path[:3] == -1)
+    assert np.all(path[-3:] == -1)
+    valid = path[path >= 0]
+    assert valid[0] == 0 and valid[-1] == npos - 1
