@@ -22,10 +22,10 @@ class Alignment:
     """One alignment record."""
 
     __slots__ = ("query_name", "flag", "reference_name", "reference_start",
-                 "cigar", "seq", "mapq")
+                 "cigar", "seq", "mapq", "tags")
 
     def __init__(self, query_name, flag, reference_name, reference_start,
-                 cigar, seq, mapq=0):
+                 cigar, seq, mapq=0, tags=None):
         self.query_name = query_name
         self.flag = flag
         self.reference_name = reference_name
@@ -33,6 +33,10 @@ class Alignment:
         self.cigar = cigar                       # list of (op, length)
         self.seq = seq
         self.mapq = mapq
+        self.tags = tags or {}
+
+    def get_tag(self, name):
+        return self.tags[name]
 
     @property
     def is_unmapped(self):
@@ -72,6 +76,22 @@ def parse_cigar(cigar_str):
     return [(op, int(n)) for n, op in _CIGAR_RE.findall(cigar_str)]
 
 
+def _parse_sam_tags(fields):
+    tags = {}
+    for field in fields:
+        parts = field.split(":", 2)
+        if len(parts) != 3:
+            continue
+        name, typ, val = parts
+        if typ == "i":
+            tags[name] = int(val)
+        elif typ == "f":
+            tags[name] = float(val)
+        else:
+            tags[name] = val
+    return tags
+
+
 def _iter_sam_text(fh):
     for line in fh:
         if line.startswith("@"):
@@ -86,7 +106,8 @@ def _iter_sam_text(fh):
             reference_start=int(fields[3]) - 1,
             cigar=[(op, n) for op, n in parse_cigar(fields[5])],
             seq=None if fields[9] == "*" else fields[9],
-            mapq=int(fields[4]))
+            mapq=int(fields[4]),
+            tags=_parse_sam_tags(fields[11:]))
 
 
 def _iter_bam(fh):
@@ -126,11 +147,49 @@ def _iter_bam(fh):
             _SEQ_CODES[(b >> 4) if i % 2 == 0 else (b & 0xF)]
             for i in range(l_seq)
             for b in [seq_bytes[i // 2]])
+        off += l_seq  # qual
+        tags = _parse_bam_tags(rec, off)
         yield Alignment(
             query_name=name, flag=flag,
             reference_name=refs[ref_id] if ref_id >= 0 else None,
             reference_start=pos0, cigar=cigar,
-            seq=seq if l_seq else None, mapq=mapq)
+            seq=seq if l_seq else None, mapq=mapq, tags=tags)
+
+
+_BAM_TAG_FMT = {"c": "<b", "C": "<B", "s": "<h", "S": "<H", "i": "<i",
+                "I": "<I", "f": "<f"}
+
+
+def _parse_bam_tags(rec, off):
+    tags = {}
+    n = len(rec)
+    while off + 3 <= n:
+        name = rec[off:off + 2].decode()
+        typ = chr(rec[off + 2])
+        off += 3
+        if typ in _BAM_TAG_FMT:
+            fmt = _BAM_TAG_FMT[typ]
+            val, = struct.unpack_from(fmt, rec, off)
+            off += struct.calcsize(fmt)
+        elif typ == "A":
+            val = chr(rec[off])
+            off += 1
+        elif typ in ("Z", "H"):
+            end = rec.index(0, off)
+            val = rec[off:end].decode()
+            off = end + 1
+        elif typ == "B":
+            sub = chr(rec[off])
+            count, = struct.unpack_from("<I", rec, off + 1)
+            fmt = _BAM_TAG_FMT[sub]
+            width = struct.calcsize(fmt)
+            val = [struct.unpack_from(fmt, rec, off + 5 + i * width)[0]
+                   for i in range(count)]
+            off += 5 + count * width
+        else:
+            break  # unknown type; stop parsing aux
+        tags[name] = val
+    return tags
 
 
 def iter_alignments(filename):
