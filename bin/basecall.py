@@ -137,7 +137,7 @@ class Basecaller:
 
 def process_read(read_filename, read_id, caller, chunk_size, overlap,
                  read_params, stride, alphabet, reverse_model, fastq,
-                 qscore_scale, qscore_offset):
+                 qscore_scale, qscore_offset, beam=None):
     from taiyaki_tpu import basecall_helpers, qscores
     from taiyaki_tpu.flipflopfings import path_to_str
 
@@ -166,11 +166,24 @@ def process_read(read_filename, read_id, caller, chunk_size, overlap,
         trans = trans[:nblk]
         paths = paths[:nblk + 1]
 
-    best_path = basecall_helpers.stitch_chunks(
-        paths, chunk_starts, chunk_ends, stride)
+    if beam is not None:
+        from taiyaki_tpu import decodeutil
+        stitched_trans = basecall_helpers.stitch_chunks(
+            trans, chunk_starts, chunk_ends, stride)
+        best_path, _ = decodeutil.beamsearch(
+            stitched_trans, beam_width=beam.width, guided=beam.guided)
+    else:
+        best_path = basecall_helpers.stitch_chunks(
+            paths, chunk_starts, chunk_ends, stride)
 
     qstring = None
-    if fastq:
+    if fastq and beam is not None:
+        # The reference crashes here (undefined chunk_best_paths in its
+        # beam branch); we degrade gracefully: beam output has no per-base
+        # transition posteriors to derive q-scores from.
+        sys.stderr.write("* Warning: --fastq with --beam emits fasta-style "
+                         "records without quality strings.\n")
+    elif fastq:
         chunk_errprobs = qscores.errprobs_from_trans(trans, paths)
         errprobs = basecall_helpers.stitch_chunks(
             chunk_errprobs, chunk_starts, chunk_ends, stride)
@@ -194,10 +207,6 @@ def main():
         get_per_read_params_dict_from_tsv)
     from taiyaki_tpu.utils import helpers
     from taiyaki_tpu.utils.helpers import Progress, open_file_or_stdout
-
-    if args.beam is not None:
-        sys.exit("* Beam search decoding is not yet available in this "
-                 "build; rerun without --beam for Viterbi decoding.")
 
     sys.stderr.write("* Initializing reads file search.\n")
     fast5_reads = fast5utils.iterate_fast5_reads(
@@ -236,14 +245,14 @@ def main():
                 read_filename, read_id, caller, chunk_size, overlap,
                 read_params, stride, args.alphabet,
                 metadata.get("reverse", False), args.fastq,
-                args.qscore_scale, args.qscore_offset)
+                args.qscore_scale, args.qscore_offset, args.beam)
             if basecall is not None and len(basecall) > 0:
                 fh.write("{}{}\n{}\n".format(
                     startcharacter, read_id,
                     basecall[::-1] if args.reverse else basecall))
                 nbase += len(basecall)
                 ncalled += 1
-                if args.fastq:
+                if args.fastq and qstring is not None:
                     fh.write("+\n{}\n".format(
                         qstring[::-1] if args.reverse else qstring))
             nread += 1

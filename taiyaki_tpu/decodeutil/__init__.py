@@ -1,0 +1,112 @@
+"""Native (C++) decoding utilities: prefix beam search and single-read
+forward/backward partition scans.
+
+The shared library is built lazily with g++ on first use and cached next
+to the source (same role as the reference's compiled Cython extension
+taiyaki/decodeutil/, but via a plain C ABI + ctypes).
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from taiyaki_tpu.flipflopfings import nbase_flipflop
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "beamsearch.cpp")
+_LIB_PATH = os.path.join(_DIR, "_libdecodeutil.so")
+_LOCK = threading.Lock()
+_LIB = None
+
+
+def _build():
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o",
+           _LIB_PATH, _SRC]
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+
+
+def _get_lib():
+    global _LIB
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB
+        if (not os.path.exists(_LIB_PATH)
+                or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
+            _build()
+        lib = ctypes.CDLL(_LIB_PATH)
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        lib.tt_flipflop_beamsearch.restype = ctypes.c_float
+        lib.tt_flipflop_beamsearch.argtypes = [
+            f32p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_float, i8p]
+        lib.tt_flipflop_forward.restype = ctypes.c_float
+        lib.tt_flipflop_forward.argtypes = [
+            f32p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p]
+        lib.tt_flipflop_backward.restype = ctypes.c_float
+        lib.tt_flipflop_backward.argtypes = [
+            f32p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p]
+        _LIB = lib
+        return lib
+
+
+def forward(score, init=None):
+    """Forward partition scan (reference: decodeutil.pyx:forward).
+
+    Args:
+        score: [nblock, nstate] float32 transition scores.
+
+    Returns:
+        ([nblock + 1, 2*nbase] boundary scores, log partition)
+    """
+    score = np.ascontiguousarray(score, dtype=np.float32)
+    nt, nf = score.shape
+    nbase = nbase_flipflop(nf)
+    out = np.zeros((nt + 1, 2 * nbase), dtype=np.float32)
+    logz = _get_lib().tt_flipflop_forward(
+        score, nbase, nt, out.ctypes.data)
+    return out, float(logz)
+
+
+def backward(score, init=None):
+    """Backward partition scan (reference: decodeutil.pyx:backward)."""
+    score = np.ascontiguousarray(score, dtype=np.float32)
+    nt, nf = score.shape
+    nbase = nbase_flipflop(nf)
+    out = np.zeros((nt + 1, 2 * nbase), dtype=np.float32)
+    logz = _get_lib().tt_flipflop_backward(
+        score, nbase, nt, out.ctypes.data)
+    return out, float(logz)
+
+
+def beamsearch(score, beam_cut=0.0, beam_width=5, guided=True):
+    """Prefix beam search over flip-flop transition scores.
+
+    Args:
+        score: [nblock, nstate] float32 (log-space) transition scores.
+        beam_cut: discard extensions more than this much worse (log space)
+            than the current best; 0.0 disables cutting.
+        beam_width: maximum number of beam elements.
+        guided: rank extensions using backward scores.
+
+    Returns:
+        (sequence of flip-flop states as int8 array, score)
+    """
+    score = np.ascontiguousarray(score, dtype=np.float32)
+    nt, nf = score.shape
+    nbase = nbase_flipflop(nf)
+    lib = _get_lib()
+    if guided:
+        bwd, _ = backward(score)
+        bwd_ptr = bwd.ctypes.data
+    else:
+        bwd_ptr = None
+    seq = np.full(nt + 1, -1, dtype=np.int8)
+    read_score = lib.tt_flipflop_beamsearch(
+        score, nbase, nt, bwd_ptr, int(beam_width), float(beam_cut), seq)
+    end = np.nonzero(seq == -1)[0]
+    seqlen = int(end[0]) if len(end) else nt + 1
+    return seq[:seqlen], float(read_score)

@@ -629,23 +629,9 @@ class Lstm(Layer):
         return params
 
     def apply(self, params, x):
-        T, B, _ = x.shape
-        H = self.size
+        from taiyaki_tpu.ops.rnn import lstm_scan
         gates_x = x @ params["iW"].T + params["b"]     # [T, B, 4H], one GEMM
-
-        def step(carry, gx):
-            h, c = carry
-            gates = gx + h @ params["sW"].T
-            i = jax.nn.sigmoid(gates[:, :H])
-            f = jax.nn.sigmoid(gates[:, H:2 * H])
-            g = jnp.tanh(gates[:, 2 * H:3 * H])
-            o = jax.nn.sigmoid(gates[:, 3 * H:])
-            c2 = f * c + i * g
-            h2 = o * jnp.tanh(c2)
-            return (h2, c2), h2
-
-        h0 = jnp.zeros((B, H), x.dtype)
-        return _rnn_scan(step, (h0, h0), gates_x)
+        return lstm_scan(gates_x, params["sW"])
 
     def json(self, params):
         res = OrderedDict([("type", "LSTM"),
@@ -697,20 +683,9 @@ class GruMod(Layer):
         return params
 
     def apply(self, params, x):
-        T, B, _ = x.shape
-        H = self.size
+        from taiyaki_tpu.ops.rnn import gru_scan
         gates_x = x @ params["iW"].T + params["b"]     # [T, B, 3H], one GEMM
-
-        def step(h, gx):
-            gh = h @ params["sW"].T
-            r = jax.nn.sigmoid(gx[:, :H] + gh[:, :H])
-            z = jax.nn.sigmoid(gx[:, H:2 * H] + gh[:, H:2 * H])
-            n = jnp.tanh(gx[:, 2 * H:] + r * gh[:, 2 * H:])
-            h2 = (1.0 - z) * n + z * h
-            return h2, h2
-
-        h0 = jnp.zeros((B, H), x.dtype)
-        return _rnn_scan(step, h0, gates_x)
+        return gru_scan(gates_x, params["sW"])
 
     def json(self, params):
         res = OrderedDict([("type", "GruMod"),

@@ -67,25 +67,37 @@ def make_seq_indices(seqs, nbase):
     return stay_idx.astype(jnp.int32), move_idx.astype(jnp.int32)
 
 
-def _gather_block_scores(scores_t, stay_idx, move_idx, modmove_idx,
-                         modmove_fact):
-    """Per-block stay/move lattice scores from one block's transition weights.
+def _make_selectors(stay_idx, move_idx, modmove_idx, modmove_fact, nstate):
+    """One-hot selector tensors for the lattice gathers/scatters.
 
-    Args:
-        scores_t: [batch, nstate] transition weights for one block.
-        stay_idx: [batch, npos] indices of stay transitions.
-        move_idx: [batch, npos-1] indices of move transitions.
-        modmove_idx / modmove_fact: optional [batch, npos-1] modified-base
-            score indices and weights (cat_mod models), or None.
+    TPU note: `take_along_axis`/scatter-add with per-batch index matrices
+    lowers to generic gather/scatter, which is catastrophically slow on TPU
+    (~100x the whole network forward).  Expressed as one-hot einsums the
+    same selections ride the MXU; the selectors are built once per loss
+    call outside the time scan.
 
     Returns:
-        (stay_sc [batch, npos], move_sc [batch, npos-1])
+        (sel_stay [batch, npos, nstate], sel_move [batch, npos-1, nstate])
+        where sel_move folds in the cat_mod weighted mod columns.
     """
-    stay_sc = jnp.take_along_axis(scores_t, stay_idx, axis=1)
-    move_sc = jnp.take_along_axis(scores_t, move_idx, axis=1)
+    sel_stay = jax.nn.one_hot(stay_idx, nstate, dtype=jnp.float32)
+    sel_move = jax.nn.one_hot(move_idx, nstate, dtype=jnp.float32)
     if modmove_idx is not None:
-        mod_sc = jnp.take_along_axis(scores_t, modmove_idx, axis=1)
-        move_sc = move_sc + modmove_fact * mod_sc
+        sel_move = sel_move + (modmove_fact[..., None]
+                               * jax.nn.one_hot(modmove_idx, nstate,
+                                                dtype=jnp.float32))
+    return sel_stay, sel_move
+
+
+def _select_block_scores(scores_t, sel_stay, sel_move):
+    """Per-block stay/move lattice scores via one-hot contraction.
+
+    scores_t: [batch, nstate]; returns ([batch, npos], [batch, npos-1]).
+    """
+    stay_sc = jnp.einsum("bs,bls->bl", scores_t, sel_stay,
+                         preferred_element_type=jnp.float32)
+    move_sc = jnp.einsum("bs,bls->bl", scores_t, sel_move,
+                         preferred_element_type=jnp.float32)
     return stay_sc, move_sc
 
 
@@ -103,10 +115,12 @@ def _forward_scores(lp, stay_idx, move_idx, modmove_idx, modmove_fact,
     Returns:
         (score [batch], lattice or None)
     """
-    nblk, nbatch, _ = lp.shape
+    nblk, nbatch, nstate = lp.shape
     npos = stay_idx.shape[1]
     pos = jnp.arange(npos)[None, :]
     valid = pos < seqlens[:, None]                        # [batch, npos]
+    sel_stay, sel_move = _make_selectors(stay_idx, move_idx, modmove_idx,
+                                         modmove_fact, nstate)
 
     fwd0 = jnp.where(pos == 0, 0.0, _NEG)
     fwd0 = jnp.where(valid, fwd0, _NEG).astype(jnp.float32)
@@ -114,8 +128,8 @@ def _forward_scores(lp, stay_idx, move_idx, modmove_idx, modmove_fact,
 
     def step(carry, scores_t):
         fwd, score = carry
-        stay_sc, move_sc = _gather_block_scores(
-            scores_t, stay_idx, move_idx, modmove_idx, modmove_fact)
+        stay_sc, move_sc = _select_block_scores(scores_t, sel_stay,
+                                                sel_move)
         stay_part = fwd + stay_sc
         move_part = jnp.concatenate(
             [jnp.full((nbatch, 1), _NEG, fwd.dtype),
@@ -146,7 +160,8 @@ def _grad_scores(lp, stay_idx, move_idx, modmove_idx, modmove_fact, seqlens):
     pos = jnp.arange(npos)[None, :]
     valid = pos < seqlens[:, None]
     valid_move = pos[:, :-1] < (seqlens[:, None] - 1)
-    brange = jnp.arange(nbatch)[:, None]
+    sel_stay, sel_move = _make_selectors(stay_idx, move_idx, modmove_idx,
+                                         modmove_fact, nstate)
 
     score, fwd_lattice = _forward_scores(
         lp, stay_idx, move_idx, modmove_idx, modmove_fact, seqlens,
@@ -159,8 +174,8 @@ def _grad_scores(lp, stay_idx, move_idx, modmove_idx, modmove_fact, seqlens):
 
     def step(bwd_next, xs):
         scores_t, fwd_curr = xs
-        stay_sc, move_sc = _gather_block_scores(
-            scores_t, stay_idx, move_idx, modmove_idx, modmove_fact)
+        stay_sc, move_sc = _select_block_scores(scores_t, sel_stay,
+                                                sel_move)
 
         # Posterior over this block's transitions (softmax over the
         # 2*npos-1 stay+move lattice entries).
@@ -175,12 +190,12 @@ def _grad_scores(lp, stay_idx, move_idx, modmove_idx, modmove_fact, seqlens):
         post = jnp.where(denom > 0, ex / jnp.maximum(denom, 1e-38), 0.0)
         post_stay, post_move = post[:, :npos], post[:, npos:]
 
-        grad_t = jnp.zeros((nbatch, nstate), jnp.float32)
-        grad_t = grad_t.at[brange, stay_idx].add(post_stay)
-        grad_t = grad_t.at[brange, move_idx].add(post_move)
-        if modmove_idx is not None:
-            grad_t = grad_t.at[brange, modmove_idx].add(
-                post_move * modmove_fact)
+        # Scatter-add via the transposed one-hot contraction (sel_move
+        # already folds the weighted cat_mod columns).
+        grad_t = (jnp.einsum("bl,bls->bs", post_stay, sel_stay,
+                             preferred_element_type=jnp.float32)
+                  + jnp.einsum("bl,bls->bs", post_move, sel_move,
+                               preferred_element_type=jnp.float32))
 
         # Backward recursion to the previous block boundary.
         stay_part = stay_sc + bwd_next
