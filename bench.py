@@ -58,21 +58,22 @@ def main():
     nleaves = len(jax.tree.leaves(params))
     threshs = jnp.full(nleaves, jnp.inf, jnp.float32)
 
-    # Warmup / compile.
+    # Warmup / compile.  The barrier after each measurement is a host
+    # fetch of the final loss: it depends on every step in the chain, and
+    # unlike block_until_ready it is reliable on remote-execution
+    # runtimes (axon) where readiness can resolve before compute.
     params, opt_state, loss, _ = step(params, opt_state, batch, 1.0, 1.0,
                                       threshs)
-    jax.block_until_ready((params, opt_state, loss))
+    float(loss)
 
     best = None
     for _ in range(3):
-        niter = 10
+        niter = 20
         t0 = time.perf_counter()
         for _ in range(niter):
             params, opt_state, loss, _ = step(params, opt_state, batch,
                                               1.0, 1.0, threshs)
-        # Block on params too: each step consumes the previous step's
-        # params, so this forces the whole chain to have executed.
-        jax.block_until_ready((params, loss))
+        float(loss)
         dt = time.perf_counter() - t0
         rate = niter * batch_size / dt
         best = rate if best is None else max(best, rate)
