@@ -177,6 +177,10 @@ def get_train_flipflop_parser():
     out_grp.add_argument(
         '--save_every', metavar='x', type=Positive(int), default=2500,
         help='Save model every x batches')
+    out_grp.add_argument(
+        '--profile', default=False, action=AutoBool,
+        help='Capture a jax profiler trace of iterations 10-15 into '
+             'outdir/profile')
 
     mod_grp = parser.add_argument_group('Modified Base Arguments')
     mod_grp.add_argument(

@@ -249,6 +249,12 @@ def main(args):
     time_last = time.time()
     logs.main.write('* Training\n')
     for curr_iter in range(args.niteration):
+        if args.profile and curr_iter == 10:
+            jax.profiler.start_trace(os.path.join(args.outdir, 'profile'))
+        if args.profile and curr_iter == 15:
+            jax.profiler.stop_trace()
+            logs.main.write('* Profiler trace written to {}/profile\n'
+                            .format(args.outdir))
         sharpen = sharpen_sched(curr_iter)
         mod_factor = mod_factor_sched(curr_iter)
         batch_chunk_len = buckets[np.random.randint(len(buckets))]
