@@ -1,0 +1,22 @@
+# Development targets (reference: top-level Makefile test tiers).
+
+.PHONY: test unit_test acceptance_test workflow_test multidevice_test bench
+
+test: unit_test
+
+unit_test:
+	python3 -m pytest tests/ -q
+
+acceptance_test:
+	python3 -m pytest tests/test_basecall_acceptance.py tests/test_mapped_signal_files.py -q
+
+workflow_test:
+	bash workflow/remap_from_samrefs_then_train_test_workflow.sh
+	bash workflow/remap_from_mod_fasta_then_train_test_mod_workflow.sh
+	bash workflow/remap_from_samrefs_then_train_squiggle_test_workflow.sh
+
+multidevice_test:
+	bash workflow/test_multidevice.sh
+
+bench:
+	python3 bench.py

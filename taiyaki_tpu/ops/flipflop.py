@@ -89,16 +89,21 @@ def _make_selectors(stay_idx, move_idx, modmove_idx, modmove_fact, nstate):
     return sel_stay, sel_move
 
 
-def _select_block_scores(scores_t, sel_stay, sel_move):
-    """Per-block stay/move lattice scores via one-hot contraction.
+def _select_all_scores(lp, sel_stay, sel_move):
+    """Stay/move lattice scores for ALL blocks in one batched GEMM.
 
-    scores_t: [batch, nstate]; returns ([batch, npos], [batch, npos-1]).
+    Contracting outside the time scan turns the per-step work into pure
+    elementwise VPU math and gives the MXU one well-shaped [T,S]x[S,L]
+    matmul per batch element instead of 2*T tiny ones.
+
+    lp: [nblk, batch, nstate] -> ([nblk, batch, npos],
+                                  [nblk, batch, npos-1]).
     """
-    stay_sc = jnp.einsum("bs,bls->bl", scores_t, sel_stay,
-                         preferred_element_type=jnp.float32)
-    move_sc = jnp.einsum("bs,bls->bl", scores_t, sel_move,
-                         preferred_element_type=jnp.float32)
-    return stay_sc, move_sc
+    stay_all = jnp.einsum("tbs,bls->tbl", lp, sel_stay,
+                          preferred_element_type=jnp.float32)
+    move_all = jnp.einsum("tbs,bls->tbl", lp, sel_move,
+                          preferred_element_type=jnp.float32)
+    return stay_all, move_all
 
 
 def _forward_scores(lp, stay_idx, move_idx, modmove_idx, modmove_fact,
@@ -126,10 +131,11 @@ def _forward_scores(lp, stay_idx, move_idx, modmove_idx, modmove_fact,
     fwd0 = jnp.where(valid, fwd0, _NEG).astype(jnp.float32)
     fwd0 = jnp.broadcast_to(fwd0, (nbatch, npos))
 
-    def step(carry, scores_t):
+    stay_all, move_all = _select_all_scores(lp, sel_stay, sel_move)
+
+    def step(carry, xs):
         fwd, score = carry
-        stay_sc, move_sc = _select_block_scores(scores_t, sel_stay,
-                                                sel_move)
+        stay_sc, move_sc = xs
         stay_part = fwd + stay_sc
         move_part = jnp.concatenate(
             [jnp.full((nbatch, 1), _NEG, fwd.dtype),
@@ -141,7 +147,8 @@ def _forward_scores(lp, stay_idx, move_idx, modmove_idx, modmove_fact,
         return (new, score + factor), (fwd if collect_lattice else None)
 
     (fwd_final, score), lattice = jax.lax.scan(
-        step, (fwd0, jnp.zeros(nbatch, jnp.float32)), lp)
+        step, (fwd0, jnp.zeros(nbatch, jnp.float32)),
+        (stay_all, move_all))
     last = jnp.clip(seqlens - 1, 0, npos - 1)
     score = score + jnp.take_along_axis(fwd_final, last[:, None], axis=1)[:, 0]
     return score, lattice
@@ -166,6 +173,7 @@ def _grad_scores(lp, stay_idx, move_idx, modmove_idx, modmove_fact, seqlens):
     score, fwd_lattice = _forward_scores(
         lp, stay_idx, move_idx, modmove_idx, modmove_fact, seqlens,
         collect_lattice=True)
+    stay_all, move_all = _select_all_scores(lp, sel_stay, sel_move)
 
     # Backward lattice init: paths end at the final position.
     last = jnp.clip(seqlens - 1, 0, npos - 1)
@@ -173,9 +181,7 @@ def _grad_scores(lp, stay_idx, move_idx, modmove_idx, modmove_fact, seqlens):
     bwd0 = jnp.broadcast_to(bwd0.astype(jnp.float32), (nbatch, npos))
 
     def step(bwd_next, xs):
-        scores_t, fwd_curr = xs
-        stay_sc, move_sc = _select_block_scores(scores_t, sel_stay,
-                                                sel_move)
+        stay_sc, move_sc, fwd_curr = xs
 
         # Posterior over this block's transitions (softmax over the
         # 2*npos-1 stay+move lattice entries).
@@ -188,14 +194,6 @@ def _grad_scores(lp, stay_idx, move_idx, modmove_idx, modmove_fact, seqlens):
         ex = jnp.where(terms > _NEG / 2, ex, 0.0)
         denom = jnp.sum(ex, axis=1, keepdims=True)
         post = jnp.where(denom > 0, ex / jnp.maximum(denom, 1e-38), 0.0)
-        post_stay, post_move = post[:, :npos], post[:, npos:]
-
-        # Scatter-add via the transposed one-hot contraction (sel_move
-        # already folds the weighted cat_mod columns).
-        grad_t = (jnp.einsum("bl,bls->bs", post_stay, sel_stay,
-                             preferred_element_type=jnp.float32)
-                  + jnp.einsum("bl,bls->bs", post_move, sel_move,
-                               preferred_element_type=jnp.float32))
 
         # Backward recursion to the previous block boundary.
         stay_part = stay_sc + bwd_next
@@ -206,9 +204,16 @@ def _grad_scores(lp, stay_idx, move_idx, modmove_idx, modmove_fact, seqlens):
         new = jnp.where(valid, new, _NEG)
         factor = jnp.max(new, axis=1, keepdims=True)
         new = jnp.where(valid, new - factor, _NEG)
-        return new, grad_t
+        return new, post
 
-    _, grad = jax.lax.scan(step, bwd0, (lp, fwd_lattice), reverse=True)
+    _, post_all = jax.lax.scan(
+        step, bwd0, (stay_all, move_all, fwd_lattice), reverse=True)
+    # Scatter-add over all blocks in two batched GEMMs (the transposed
+    # one-hot contraction; sel_move folds the weighted cat_mod columns).
+    grad = (jnp.einsum("tbl,bls->tbs", post_all[:, :, :npos], sel_stay,
+                       preferred_element_type=jnp.float32)
+            + jnp.einsum("tbl,bls->tbs", post_all[:, :, npos:], sel_move,
+                         preferred_element_type=jnp.float32))
     return score, grad
 
 

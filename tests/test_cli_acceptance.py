@@ -1,0 +1,120 @@
+"""Acceptance tests running bin/ and misc/ scripts as subprocesses against
+fixture data (mirrors the reference's test/acceptance tier)."""
+
+import json
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MODEL = os.path.join(REPO, "tests", "data",
+                     "mGru_remap_converted.checkpoint")
+FIXTURE_MSF = ("/root/reference/test/data/mapped_signal_file/"
+               "mapped_reads_0.hdf5")
+
+have_fixtures = os.path.exists(FIXTURE_MSF)
+needs_fixtures = pytest.mark.skipif(not have_fixtures,
+                                    reason="reference fixtures absent")
+
+
+def run(args, timeout=600):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    return subprocess.run([sys.executable] + args, capture_output=True,
+                          text=True, env=env, timeout=timeout)
+
+
+def test_dump_json_roundtrip(tmp_path):
+    json_path = str(tmp_path / "model.json")
+    r = run([os.path.join(REPO, "bin", "dump_json.py"), MODEL,
+             "--output", json_path])
+    assert r.returncode == 0, r.stderr[-1000:]
+    with open(json_path) as fh:
+        j = json.load(fh)
+    assert j["type"] == "serial"
+    assert "md5sum" in j
+    ckpt_path = str(tmp_path / "back.checkpoint")
+    r = run([os.path.join(REPO, "misc", "json_to_checkpoint.py"),
+             json_path, "--output", ckpt_path])
+    assert r.returncode == 0, r.stderr[-1000:]
+    with open(ckpt_path, "rb") as fh:
+        ckpt = pickle.load(fh)
+    assert ckpt["metadata"]["version"] == 3
+
+
+@needs_fixtures
+def test_merge_mappedsignalfiles(tmp_path):
+    out = str(tmp_path / "merged.hdf5")
+    r = run([os.path.join(REPO, "misc", "merge_mappedsignalfiles.py"), out,
+             "--input", FIXTURE_MSF, "None",
+             "--input",
+             FIXTURE_MSF.replace("reads_0", "reads_1"), "1",
+             "--seed", "3", "--batch_format"])
+    assert r.returncode == 0, r.stderr[-1000:]
+    from taiyaki_tpu.data.mapped_signal_files import MappedSignalReader
+    with MappedSignalReader(out) as msr:
+        assert len(msr.get_read_ids()) == 3  # 2 + 1
+        assert msr.check() == "pass"
+
+
+@needs_fixtures
+def test_check_mapped_signal_file():
+    r = run([os.path.join(REPO, "misc", "check_mapped_signal_file.py"),
+             FIXTURE_MSF])
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "pass" in r.stdout
+
+
+@needs_fixtures
+def test_train_flipflop_smoke(tmp_path):
+    outdir = str(tmp_path / "train")
+    r = run([os.path.join(REPO, "bin", "train_flipflop.py"),
+             "--device", "cpu", "--size", "16", "--stride", "2",
+             "--winlen", "9", "--niteration", "3", "--warmup_batches", "1",
+             "--chunk_len_min", "300", "--chunk_len_max", "400",
+             "--min_sub_batch_size", "4", "--save_every", "2",
+             "--sample_nreads_before_filtering", "50",
+             "--reporting_sub_batches", "10", "--seed", "5",
+             "--outdir", outdir, MODEL.replace(
+                 "mGru_remap_converted.checkpoint", "")
+             + "/../../taiyaki_tpu/models/mGru_flipflop.py", FIXTURE_MSF],
+            timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(os.path.join(outdir, "model_final.checkpoint"))
+    batch_log = open(os.path.join(outdir, "batch.log")).read().splitlines()
+    assert len(batch_log) == 4  # header + 3 iterations
+
+
+def test_upgrade_mapped_signal_v7(tmp_path):
+    """Synthesize a v7 file (per-read alphabet attrs) and upgrade it."""
+    import h5py
+    v7 = str(tmp_path / "v7.hdf5")
+    with h5py.File(v7, "w") as f:
+        f.attrs["version"] = 7
+        g = f.create_group("Reads/read-1")
+        g.attrs["alphabet"] = "ACGT"
+        g.attrs["collapse_alphabet"] = "ACGT"
+        g.attrs["read_id"] = "read-1"
+        g.attrs["shift_frompA"] = 0.0
+        g.attrs["scale_frompA"] = 1.0
+        g.attrs["range"] = 1.0
+        g.attrs["offset"] = 0.0
+        g.attrs["digitisation"] = 1.0
+        g.create_dataset("Dacs", data=np.zeros(30, dtype=np.int16))
+        g.create_dataset("Ref_to_signal",
+                         data=np.arange(0, 33, 8, dtype=np.int32))
+        g.create_dataset("Reference", data=np.zeros(4, dtype=np.int16))
+    out = str(tmp_path / "v8.hdf5")
+    r = run([os.path.join(REPO, "misc", "upgrade_mapped_signal.py"),
+             v7, out])
+    assert r.returncode == 0, r.stderr[-1000:]
+    from taiyaki_tpu.data.mapped_signal_files import MappedSignalReader
+    with MappedSignalReader(out) as msr:
+        assert msr.version == 8
+        ai = msr.get_alphabet_information()
+        assert ai.alphabet == "ACGT"
+        reads = list(msr.reads())
+        assert len(reads) == 1

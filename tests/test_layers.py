@@ -247,3 +247,50 @@ def test_is_cat_mod_and_delta_predicates():
     ai = AlphabetInfo("ACGTZ", "ACGTC", ["5mC"], do_reorder=True)
     netm = mGru_cat_mod_flipflop.network(size=16, alphabet_info=ai)
     assert layers.is_cat_mod_model(netm)
+
+
+def test_cudnn_gru_matches_torch():
+    torch, nn = torch_mods()
+    insize, size, T, B = 6, 10, 12, 3
+    layer = layers.CudnnGru(insize, size)
+    p = layer.init(RNG)
+    ref = nn.GRU(insize, size)
+    with torch.no_grad():
+        ref.weight_ih_l0.copy_(torch.tensor(np.asarray(p["iW"])))
+        ref.weight_hh_l0.copy_(torch.tensor(np.asarray(p["sW"])))
+        ref.bias_ih_l0.copy_(torch.tensor(np.asarray(p["ib"])))
+        ref.bias_hh_l0.copy_(torch.tensor(np.asarray(p["sb"])))
+    x = RNG.normal(size=(T, B, insize)).astype(np.float32)
+    y_jax = np.asarray(layer.apply(p, jnp.asarray(x)))
+    y_ref, _ = ref(torch.tensor(x))
+    np.testing.assert_allclose(y_jax, y_ref.detach().numpy(),
+                               rtol=1e-4, atol=1e-5)
+    j = layer.json(p)
+    assert j["type"] == "CudnnGru"
+    assert set(j["params"]) == {"iW", "sW", "ib", "sb"}
+
+
+def test_misc_layer_json_schemas():
+    x = rand_input()
+    for layer, expected_type in [
+            (layers.Identity(activation.tanh), "Identity"),
+            (layers.Studentise(), "studentise"),
+            (layers.DeltaSample(), "DeltaSample"),
+            (layers.Window(3), "window"),
+            (layers.UpSample(2), "UpSample"),
+            (layers.DownSample(2), "DownSample"),
+            (layers.TimeLinear(12, 6), "TimeLinear"),
+    ]:
+        p = layer.init(RNG)
+        layer.apply(p, x)
+        j = layer.json(p)
+        assert j["type"] == expected_type
+        json.dumps(j, cls=JsonEncoder)
+
+
+def test_downupsample_wrapper():
+    inner = layers.FeedForward(16, 16)
+    wrapped = layers.DownUpSample(inner, 2)
+    p = wrapped.init(RNG)
+    y = wrapped.apply(p, rand_input())
+    assert y.shape == (12, 3, 8)
