@@ -197,10 +197,20 @@ def main(args):
             filter_params.median_meandwell, filter_params.mad_meandwell))
 
     # Hold out reporting strands (reference :486-521).
-    n_report = max(1, int(len(read_data) * args.reporting_percent_reads
-                          / 100.0))
-    report_idx = set(np.random.choice(len(read_data), n_report,
-                                      replace=False))
+    if args.reporting_strand_list is not None:
+        from taiyaki_tpu.utils.fileio import readtsv
+        reporting_ids = set(
+            str(v) for v in readtsv(args.reporting_strand_list,
+                                    ["read_id"])["read_id"])
+        report_idx = set(i for i, r in enumerate(read_data)
+                         if r.read_id in reporting_ids)
+        logs.main.write('* Reporting strands from {} ({} found).\n'.format(
+            args.reporting_strand_list, len(report_idx)))
+    else:
+        n_report = max(1, int(len(read_data) * args.reporting_percent_reads
+                              / 100.0))
+        report_idx = set(np.random.choice(len(read_data), n_report,
+                                          replace=False))
     reporting_data = [read_data[i] for i in sorted(report_idx)]
     if not args.include_reporting_strands:
         read_data = [r for i, r in enumerate(read_data)

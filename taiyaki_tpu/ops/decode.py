@@ -52,7 +52,8 @@ def flipflop_viterbi(scores):
         tb = jnp.concatenate([tb_flip, tb_flop], axis=1)
         return new, (new, tb)
 
-    fwd_final, (fwd_all, traceback) = jax.lax.scan(fwd_step, fwd0, scores)
+    fwd_final, (fwd_all, traceback) = jax.lax.scan(
+        fwd_step, fwd0, scores, unroll=8)
     fwd = jnp.concatenate([fwd0[None], fwd_all], axis=0)
 
     path_T = jnp.argmax(fwd_final, axis=1).astype(jnp.int32)
@@ -62,7 +63,8 @@ def flipflop_viterbi(scores):
         prev = tb_t[batch_ix, nxt]
         return prev, prev
 
-    _, path_rest = jax.lax.scan(back_step, path_T, traceback, reverse=True)
+    _, path_rest = jax.lax.scan(back_step, path_T, traceback,
+                                reverse=True, unroll=8)
     path = jnp.concatenate([path_rest, path_T[None]], axis=0)
     return fwd, traceback, path
 

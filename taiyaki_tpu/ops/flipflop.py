@@ -36,6 +36,9 @@ import jax.numpy as jnp
 
 from taiyaki_tpu import flipflopfings
 
+# Scan unroll factor: amortizes per-iteration loop overhead on TPU.
+_UNROLL = 8
+
 # Lattice value for impossible states.  Large enough to never win a max,
 # small enough that sums of T of them stay finite in float32.
 _NEG = -1e30
@@ -148,7 +151,7 @@ def _forward_scores(lp, stay_idx, move_idx, modmove_idx, modmove_fact,
 
     (fwd_final, score), lattice = jax.lax.scan(
         step, (fwd0, jnp.zeros(nbatch, jnp.float32)),
-        (stay_all, move_all))
+        (stay_all, move_all), unroll=_UNROLL)
     last = jnp.clip(seqlens - 1, 0, npos - 1)
     score = score + jnp.take_along_axis(fwd_final, last[:, None], axis=1)[:, 0]
     return score, lattice
@@ -207,7 +210,8 @@ def _grad_scores(lp, stay_idx, move_idx, modmove_idx, modmove_fact, seqlens):
         return new, post
 
     _, post_all = jax.lax.scan(
-        step, bwd0, (stay_all, move_all, fwd_lattice), reverse=True)
+        step, bwd0, (stay_all, move_all, fwd_lattice), reverse=True,
+        unroll=_UNROLL)
     # Scatter-add over all blocks in two batched GEMMs (the transposed
     # one-hot contraction; sel_move folds the weighted cat_mod columns).
     grad = (jnp.einsum("tbl,bls->tbs", post_all[:, :, :npos], sel_stay,
@@ -390,7 +394,7 @@ def flipflop_logz(scores):
         return (new - factor[:, None], logz + factor), None
 
     (_, logz), _ = jax.lax.scan(
-        step, (init, logz0), scores.astype(jnp.float32))
+        step, (init, logz0), scores.astype(jnp.float32), unroll=_UNROLL)
     return logz
 
 

@@ -143,3 +143,22 @@ def test_stitch_chunks_reconstructs_unique_blocks():
     stitched = basecall_helpers.stitch_chunks(out, starts, ends, stride)
     np.testing.assert_array_equal(stitched[:, 0],
                                   np.arange(siglen // stride))
+
+
+def test_run_model_stitches_long_read():
+    """basecall_helpers.run_model: chunk -> net -> stitch equals running
+    the net on the whole read for a stride-compatible conv-only model."""
+    import jax
+    from taiyaki_tpu import layers, activation
+
+    rng = np.random.default_rng(21)
+    net = layers.Serial([layers.Convolution(1, 4, 1, stride=2,
+                                            fun=activation.linear)])
+    params = net.init(rng)
+    signal = rng.normal(size=3000).astype(np.float32)
+    whole = np.asarray(net.apply(params, signal[:, None, None]))[:, 0]
+    stitched = basecall_helpers.run_model(
+        signal, net, params, chunk_size=250, overlap=25,
+        max_concur_chunks=4)
+    assert stitched.shape == whole.shape
+    np.testing.assert_allclose(stitched, whole, rtol=1e-5, atol=1e-6)
