@@ -137,11 +137,12 @@ class Basecaller:
 
 def process_read(read_filename, read_id, caller, chunk_size, overlap,
                  read_params, stride, alphabet, reverse_model, fastq,
-                 qscore_scale, qscore_offset, beam=None):
+                 qscore_scale, qscore_offset, beam=None, signal=None):
     from taiyaki_tpu import basecall_helpers, qscores
     from taiyaki_tpu.flipflopfings import path_to_str
 
-    signal = get_signal(read_filename, read_id)
+    if signal is None:
+        signal = get_signal(read_filename, read_id)
     if signal is None:
         return None, None, 0
     if reverse_model:
@@ -238,14 +239,27 @@ def main():
     t0 = time.time()
     progress = Progress(quiet=args.quiet)
     startcharacter = "@" if args.fastq else ">"
+
+    # Prefetch raw signals with a thread pool (--jobs) so fast5 IO overlaps
+    # device compute; replaces the reference's per-worker model pool — on
+    # TPU one process drives the accelerator and only IO parallelizes.
+    from concurrent.futures import ThreadPoolExecutor
+    reads = list(fast5_reads)
+
+    def fetch(item):
+        return item[0], item[1], get_signal(item[0], item[1])
+
+    pool = ThreadPoolExecutor(max_workers=max(1, args.jobs))
+    fetched = pool.map(fetch, reads)
     with open_file_or_stdout(args.output) as fh:
-        for read_filename, read_id in fast5_reads:
+        for read_filename, read_id, signal in fetched:
             read_params = all_read_params.get(read_id)
             basecall, qstring, read_nsample = process_read(
                 read_filename, read_id, caller, chunk_size, overlap,
                 read_params, stride, args.alphabet,
                 metadata.get("reverse", False), args.fastq,
-                args.qscore_scale, args.qscore_offset, args.beam)
+                args.qscore_scale, args.qscore_offset, args.beam,
+                signal=signal)
             if basecall is not None and len(basecall) > 0:
                 fh.write("{}{}\n{}\n".format(
                     startcharacter, read_id,

@@ -298,6 +298,13 @@ def main(args):
             total_samples += batch.signal.size
             total_bases += int(np.sum(batch.seqlens))
         fval = loss_sum / args.sub_batches
+        if not np.isfinite(fval):
+            # Numerical-health guard (reference: ctc.pyx:62-65 advice).
+            logs.main.write(
+                '\n* Error: loss is not finite at iteration {}.\n'
+                '* Try restarting from a checkpoint with a lower learning '
+                'rate.\n'.format(curr_iter + 1))
+            sys.exit(1)
         grad_maxs_np = np.asarray(grad_maxs)
         prev_threshs = capper.thresholds.copy()
         capper.update(grad_maxs_np)
@@ -334,7 +341,7 @@ def main(args):
             saved = helpers.save_model(
                 args.outdir, net, params, model_source, model_kwargs,
                 metadata, (curr_iter + 1) // args.save_every,
-                optimizer_state=None)
+                optimizer_state=jax.tree.map(np.asarray, opt_state))
             logs.main.write('Model saved to {}.\n'.format(saved))
             t0 = time.time()
             vlosses, vbases = [], 0
@@ -351,7 +358,9 @@ def main(args):
 
     if is_lead:
         helpers.save_model(args.outdir, net, params, model_source,
-                           model_kwargs, metadata, index=None)
+                           model_kwargs, metadata, index=None,
+                           optimizer_state=jax.tree.map(np.asarray,
+                                                        opt_state))
         logs.main.write('\n* Training complete.\n')
 
 
