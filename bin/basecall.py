@@ -69,6 +69,10 @@ def get_parser():
         "--temperature", default=1.0, type=float,
         help="Scaling factor applied to network outputs before decoding")
     parser.add_argument(
+        "--modified_base_output", default=None,
+        help="HDF5 file for modified-base scores (cat_mod models only); "
+             "implements the documented format the reference never did")
+    parser.add_argument(
         "model", action=FileExists,
         help="Model checkpoint file to use for basecalling")
     return parser
@@ -98,53 +102,59 @@ class Basecaller:
     fixed [chunk_size, batch] shape."""
 
     def __init__(self, net, params, n_can_state, posterior, temperature,
-                 max_batch):
+                 max_batch, want_mods=False):
         import jax
         import jax.numpy as jnp
         from taiyaki_tpu.ops import decode as dec
 
         self.params = params
         self.max_batch = max_batch
+        self.want_mods = want_mods
 
         def call_chunks(params, chunks):
-            trans = net.apply(params, chunks)[:, :, :n_can_state]
-            trans = trans * temperature
+            out = net.apply(params, chunks)
+            trans = out[:, :, :n_can_state] * temperature
+            mods = out[:, :, n_can_state:] if want_mods else jnp.zeros(
+                (out.shape[0], out.shape[1], 0), out.dtype)
             if posterior:
                 trans = jnp.log(dec.flipflop_make_trans(trans) + 1e-8)
             _, _, paths = dec.flipflop_viterbi(trans)
-            return trans, paths
+            return trans, paths, mods
 
         self._fn = jax.jit(call_chunks)
 
     def __call__(self, chunks):
         """chunks [T, nchunk, 1] -> (trans [nblk, nchunk, S],
-        paths [nblk+1, nchunk]), padding the batch to max_batch so the
-        program compiles once."""
+        paths [nblk+1, nchunk], mods [nblk, nchunk, nmodcol]), padding the
+        batch to max_batch so the program compiles once."""
         n = chunks.shape[1]
-        out_trans, out_paths = [], []
+        out_trans, out_paths, out_mods = [], [], []
         for i in range(0, n, self.max_batch):
             part = chunks[:, i:i + self.max_batch]
             k = part.shape[1]
             if k < self.max_batch:
                 pad = np.repeat(part[:, -1:], self.max_batch - k, axis=1)
                 part = np.concatenate([part, pad], axis=1)
-            trans, paths = self._fn(self.params, part)
+            trans, paths, mods = self._fn(self.params, part)
             out_trans.append(np.asarray(trans[:, :k]))
             out_paths.append(np.asarray(paths[:, :k]))
+            out_mods.append(np.asarray(mods[:, :k]))
         return (np.concatenate(out_trans, axis=1),
-                np.concatenate(out_paths, axis=1))
+                np.concatenate(out_paths, axis=1),
+                np.concatenate(out_mods, axis=1))
 
 
 def process_read(read_filename, read_id, caller, chunk_size, overlap,
                  read_params, stride, alphabet, reverse_model, fastq,
-                 qscore_scale, qscore_offset, beam=None, signal=None):
+                 qscore_scale, qscore_offset, beam=None, signal=None,
+                 can_nmods=None):
     from taiyaki_tpu import basecall_helpers, qscores
     from taiyaki_tpu.flipflopfings import path_to_str
 
     if signal is None:
         signal = get_signal(read_filename, read_id)
     if signal is None:
-        return None, None, 0
+        return None, None, 0, None
     if reverse_model:
         signal = signal[::-1]
     if read_params is None:
@@ -161,11 +171,12 @@ def process_read(read_filename, read_id, caller, chunk_size, overlap,
         pad = np.zeros((chunk_size - true_len, 1, 1), dtype=np.float32)
         chunks = np.concatenate([chunks, pad], axis=0)
 
-    trans, paths = caller(chunks)
+    trans, paths, mods = caller(chunks)
     if true_len < chunk_size:
         nblk = -(-true_len // stride)
         trans = trans[:nblk]
         paths = paths[:nblk + 1]
+        mods = mods[:nblk]
 
     if beam is not None:
         from taiyaki_tpu import decodeutil
@@ -193,7 +204,20 @@ def process_read(read_filename, read_id, caller, chunk_size, overlap,
 
     basecall = path_to_str(best_path, alphabet=alphabet,
                            include_first_source=False)
-    return basecall, qstring, len(signal)
+
+    mod_scores = None
+    if caller.want_mods and beam is None:
+        from taiyaki_tpu.flipflopfings import extract_mod_weights
+        stitched_mods = basecall_helpers.stitch_chunks(
+            mods, chunk_starts, chunk_ends, stride)
+        # Align: the state at stitched-path position t was entered via the
+        # transition scored at block t, so mod scores for transitions are
+        # rows 1..N-1; row 0 of the result (the never-moved-into first
+        # base) is dropped to match the basecall length.
+        n = min(len(best_path), len(stitched_mods))
+        mod_scores = extract_mod_weights(
+            stitched_mods[1:n], best_path[:n], can_nmods)[1:]
+    return basecall, qstring, len(signal), mod_scores
 
 
 def main():
@@ -231,8 +255,26 @@ def main():
     chunk_size = args.chunk_size * stride
     overlap = args.overlap * stride
     n_can_state = nstate_flipflop(len(args.alphabet))
+
+    from taiyaki_tpu import layers
+    can_nmods = None
+    mod_writer = None
+    if args.modified_base_output is not None:
+        import h5py
+        if not layers.is_cat_mod_model(net):
+            sys.exit("* Error: --modified_base_output requires a cat_mod "
+                     "model")
+        head = net.sublayers[-1]
+        can_nmods = head.can_nmods
+        mod_writer = h5py.File(args.modified_base_output, "w")
+        mod_writer.create_dataset(
+            "mod_long_names",
+            data=np.array(head.ordered_mod_long_names,
+                          dtype=h5py.special_dtype(vlen=str)))
+        mod_writer.create_group("Reads")
     caller = Basecaller(net, params, n_can_state, args.posterior,
-                        args.temperature, args.max_concurrent_chunks)
+                        args.temperature, args.max_concurrent_chunks,
+                        want_mods=can_nmods is not None)
 
     sys.stderr.write("* Calling reads.\n")
     nbase = ncalled = nread = nsample = 0
@@ -254,12 +296,15 @@ def main():
     with open_file_or_stdout(args.output) as fh:
         for read_filename, read_id, signal in fetched:
             read_params = all_read_params.get(read_id)
-            basecall, qstring, read_nsample = process_read(
+            basecall, qstring, read_nsample, mod_scores = process_read(
                 read_filename, read_id, caller, chunk_size, overlap,
                 read_params, stride, args.alphabet,
                 metadata.get("reverse", False), args.fastq,
                 args.qscore_scale, args.qscore_offset, args.beam,
-                signal=signal)
+                signal=signal, can_nmods=can_nmods)
+            if mod_writer is not None and mod_scores is not None:
+                mod_writer["Reads"].create_dataset(
+                    read_id, data=mod_scores.astype(np.float32))
             if basecall is not None and len(basecall) > 0:
                 fh.write("{}{}\n{}\n".format(
                     startcharacter, read_id,
@@ -280,6 +325,8 @@ def main():
     sys.stderr.write("* {:7.2f} ksample / s\n".format(
         nsample / total_time / 1000.0))
     sys.stderr.write("* {} reads failed.\n".format(nread - ncalled))
+    if mod_writer is not None:
+        mod_writer.close()
 
 
 if __name__ == "__main__":

@@ -336,10 +336,13 @@ def cat_mod_flipflop_loss(logprob, seqs, seqlens, mod_cats, can_mods_offsets,
     Returns:
         [batch] float32 costs.
     """
+    import numpy as _np
     ntrans = logprob.shape[2]
-    can_mods_offsets = jnp.asarray(can_mods_offsets)
-    n_can_trans = ntrans - int(can_mods_offsets[-1])
+    # can_mods_offsets is static model structure (numpy); the width split
+    # must stay concrete under jit.
+    n_can_trans = ntrans - int(_np.asarray(can_mods_offsets)[-1])
     nbase = _nbase_from_ntrans(n_can_trans)
+    can_mods_offsets = jnp.asarray(can_mods_offsets)
 
     stay_idx, move_idx = make_seq_indices(seqs, nbase)
     # Mod score column for each *entered* position p >= 1.

@@ -300,3 +300,20 @@ def test_logz_matches_brute_force_two_base():
                     stack.append((nxt, t + 1, acc + x[t, 0, tcode(s, nxt)]))
     logz = float(ffops.flipflop_logz(jnp.asarray(x))[0])
     assert abs(logz - total) < 1e-4
+
+
+def test_cat_mod_loss_works_under_jit():
+    """Regression: can_mods_offsets splitting must stay concrete when the
+    loss is traced (the trainer jits the whole step)."""
+    rng = np.random.default_rng(41)
+    x, seq, seqlens, mod_cats, offsets, weights = _cat_mod_setup(rng)
+
+    @jax.jit
+    def f(v):
+        return ffops.cat_mod_flipflop_loss(
+            v, seq, seqlens, mod_cats, offsets, weights)
+
+    out = f(x)
+    ref = ffops.cat_mod_flipflop_loss(
+        x, seq, seqlens, mod_cats, offsets, weights)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)

@@ -1,5 +1,5 @@
 #!/bin/bash -eu
-set -o pipefail
+set -eu -o pipefail
 
 # Smoke test: user-supplied modified-base per-read references -> remap ->
 # train a cat_mod model (reference: workflow/remap_from_mod_fasta_then_

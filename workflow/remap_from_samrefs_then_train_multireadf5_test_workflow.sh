@@ -1,5 +1,5 @@
 #!/bin/bash -eu
-set -o pipefail
+set -eu -o pipefail
 
 # Smoke test over MULTI-read fast5 input (reference: workflow/
 # remap_from_samrefs_then_train_multireadf5_test_workflow.sh).

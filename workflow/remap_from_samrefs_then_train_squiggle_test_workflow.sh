@@ -1,5 +1,5 @@
 #!/bin/bash -eu
-set -o pipefail
+set -eu -o pipefail
 
 # Smoke test: refs from sam -> remap -> train squiggle predictor
 # (reference: workflow/remap_from_samrefs_then_train_squiggle_test_

@@ -1,5 +1,5 @@
 #!/bin/bash -eu
-set -o pipefail
+set -eu -o pipefail
 
 # End-to-end smoke test: extract refs from sam -> remap -> train a small
 # flip-flop model (reference: workflow/remap_from_samrefs_then_train_test_

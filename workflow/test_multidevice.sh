@@ -1,5 +1,5 @@
 #!/bin/bash -eu
-set -o pipefail
+set -eu -o pipefail
 
 # Multi-device data-parallel training test (replaces the reference's
 # workflow/test_multiGPU.sh, which needed 2 physical GPUs and DDP).
