@@ -1,0 +1,299 @@
+"""Pallas TPU kernels for the LSTM/GRU time scans.
+
+The custom-VJP scans in ops/rnn.py are already matmul-lean, but XLA's
+`lax.scan` pays ~5us of loop machinery per iteration — at 4000 sequential
+steps that is most of the forward pass.  These kernels run the whole time
+loop *inside* one Pallas program: the recurrent weights and the hidden
+carry live in VMEM across the (sequential) TPU grid, each grid step
+streams a block of `block_t` time steps of the input gates HBM->VMEM and
+writes the states back.
+
+Layout notes:
+* weights are passed pre-transposed ([H, kH]) so the in-loop product is a
+  plain [B,H] x [H,kH] `jnp.dot` with no per-step transpose;
+* the carry persists in VMEM scratch between grid steps (TPU grids are
+  sequential), zero-initialized at program_id 0;
+* the backward kernel walks the grid in reverse via its index_map and
+  emits per-step gate gradients; the weight gradient is one big GEMM
+  outside the kernel (as in ops/rnn.py).
+
+Used automatically by ops/rnn.py on TPU; interpret mode keeps the same
+code testable on CPU.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Time steps per grid iteration.  Bounded by VMEM: with double-buffered
+# streaming the in/out blocks cost ~2 * block_t * B * (9H) floats; at
+# B=64, H=256 block_t=8 keeps the total under the 16MB VMEM budget.
+DEFAULT_BLOCK_T = 8
+
+
+def _lstm_fwd_kernel(gx_ref, swt_ref, h_ref, c_ref, pre_ref,
+                     h_carry, c_carry, *, block_t, H):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        h_carry[:] = jnp.zeros_like(h_carry)
+        c_carry[:] = jnp.zeros_like(c_carry)
+
+    def body(k, _):
+        h = h_carry[:]
+        c = c_carry[:]
+        pre = gx_ref[k] + jnp.dot(h, swt_ref[:],
+                                  preferred_element_type=jnp.float32)
+        i = jax.nn.sigmoid(pre[:, :H])
+        f = jax.nn.sigmoid(pre[:, H:2 * H])
+        g = jnp.tanh(pre[:, 2 * H:3 * H])
+        o = jax.nn.sigmoid(pre[:, 3 * H:])
+        c2 = f * c + i * g
+        h2 = o * jnp.tanh(c2)
+        h_ref[k] = h2
+        c_ref[k] = c2
+        pre_ref[k] = pre
+        h_carry[:] = h2
+        c_carry[:] = c2
+        return 0
+
+    jax.lax.fori_loop(0, block_t, body, 0)
+
+
+def lstm_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False):
+    """Fused LSTM forward.
+
+    Args:
+        gates_x: [T, B, 4H] input gates (torch order i,f,g,o); T must be a
+            multiple of block_t (callers pad).
+        sW: [4H, H] recurrent weights.
+
+    Returns:
+        (h [T,B,H], c [T,B,H], pre [T,B,4H])
+    """
+    T, B, H4 = gates_x.shape
+    H = H4 // 4
+    assert T % block_t == 0, (T, block_t)
+    grid = (T // block_t,)
+    swt = sW.T  # [H, 4H]
+    kernel = functools.partial(_lstm_fwd_kernel, block_t=block_t, H=H)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_t, B, H4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_t, B, H), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, H), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, H4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H), gates_x.dtype),
+            jax.ShapeDtypeStruct((T, B, H), gates_x.dtype),
+            jax.ShapeDtypeStruct((T, B, H4), gates_x.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(gates_x, swt)
+
+
+def _lstm_bwd_kernel(dh_ref, pre_ref, c_ref, cprev_ref, sw_ref, dpre_ref,
+                     dh_carry, dc_carry, *, block_t, H):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dh_carry[:] = jnp.zeros_like(dh_carry)
+        dc_carry[:] = jnp.zeros_like(dc_carry)
+
+    def body(j, _):
+        k = block_t - 1 - j
+        pre = pre_ref[k]
+        i = jax.nn.sigmoid(pre[:, :H])
+        f = jax.nn.sigmoid(pre[:, H:2 * H])
+        g = jnp.tanh(pre[:, 2 * H:3 * H])
+        o = jax.nn.sigmoid(pre[:, 3 * H:])
+        tc = jnp.tanh(c_ref[k])
+        dh = dh_ref[k] + dh_carry[:]
+        do = dh * tc
+        dc = dh * o * (1.0 - tc * tc) + dc_carry[:]
+        di = dc * g
+        df = dc * cprev_ref[k]
+        dg = dc * i
+        dpre = jnp.concatenate(
+            [di * i * (1.0 - i), df * f * (1.0 - f),
+             dg * (1.0 - g * g), do * o * (1.0 - o)], axis=1)
+        dpre_ref[k] = dpre
+        dh_carry[:] = jnp.dot(dpre, sw_ref[:],
+                              preferred_element_type=jnp.float32)
+        dc_carry[:] = dc * f
+        return 0
+
+    jax.lax.fori_loop(0, block_t, body, 0)
+
+
+def lstm_bwd(dh_out, pre, c, c_prev, sW, block_t=DEFAULT_BLOCK_T,
+             interpret=False):
+    """Fused LSTM backward: per-step gate gradients dpre [T,B,4H]."""
+    T, B, H = dh_out.shape
+    H4 = 4 * H
+    assert T % block_t == 0
+    ngrid = T // block_t
+    kernel = functools.partial(_lstm_bwd_kernel, block_t=block_t, H=H)
+
+    def rev(i):
+        return (ngrid - 1 - i, 0, 0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(ngrid,),
+        in_specs=[
+            pl.BlockSpec((block_t, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, H4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H4, H), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_t, B, H4), rev,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, B, H4), dh_out.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(dh_out, pre, c, c_prev, sW)
+
+
+# -- GRU ---------------------------------------------------------------------
+
+def _gru_fwd_kernel(gx_ref, swt_ref, h_ref, gh_ref, h_carry,
+                    *, block_t, H):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        h_carry[:] = jnp.zeros_like(h_carry)
+
+    def body(k, _):
+        h = h_carry[:]
+        gx = gx_ref[k]
+        gh = jnp.dot(h, swt_ref[:], preferred_element_type=jnp.float32)
+        r = jax.nn.sigmoid(gx[:, :H] + gh[:, :H])
+        z = jax.nn.sigmoid(gx[:, H:2 * H] + gh[:, H:2 * H])
+        n = jnp.tanh(gx[:, 2 * H:] + r * gh[:, 2 * H:])
+        h2 = (1.0 - z) * n + z * h
+        h_ref[k] = h2
+        gh_ref[k] = gh
+        h_carry[:] = h2
+        return 0
+
+    jax.lax.fori_loop(0, block_t, body, 0)
+
+
+def gru_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False):
+    """Fused GRU forward -> (h [T,B,H], gh [T,B,3H])."""
+    T, B, H3 = gates_x.shape
+    H = H3 // 3
+    assert T % block_t == 0
+    kernel = functools.partial(_gru_fwd_kernel, block_t=block_t, H=H)
+    return pl.pallas_call(
+        kernel,
+        grid=(T // block_t,),
+        in_specs=[
+            pl.BlockSpec((block_t, B, H3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H3), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_t, B, H), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, H3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H), gates_x.dtype),
+            jax.ShapeDtypeStruct((T, B, H3), gates_x.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        interpret=interpret,
+    )(gates_x, sW.T)
+
+
+def _gru_bwd_kernel(dh_ref, gx_ref, gh_ref, hprev_ref, sw_ref,
+                    dgx_ref, dgh_ref, dh_carry, *, block_t, H):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dh_carry[:] = jnp.zeros_like(dh_carry)
+
+    def body(j, _):
+        k = block_t - 1 - j
+        gx = gx_ref[k]
+        gh = gh_ref[k]
+        h_prev = hprev_ref[k]
+        r = jax.nn.sigmoid(gx[:, :H] + gh[:, :H])
+        z = jax.nn.sigmoid(gx[:, H:2 * H] + gh[:, H:2 * H])
+        n = jnp.tanh(gx[:, 2 * H:] + r * gh[:, 2 * H:])
+        dh = dh_ref[k] + dh_carry[:]
+        dz = dh * (h_prev - n)
+        dn = dh * (1.0 - z)
+        dn_pre = dn * (1.0 - n * n)
+        dr = dn_pre * gh[:, 2 * H:]
+        dr_pre = dr * r * (1.0 - r)
+        dz_pre = dz * z * (1.0 - z)
+        dgh = jnp.concatenate([dr_pre, dz_pre, dn_pre * r], axis=1)
+        dgx = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
+        dgx_ref[k] = dgx
+        dgh_ref[k] = dgh
+        dh_carry[:] = (jnp.dot(dgh, sw_ref[:],
+                               preferred_element_type=jnp.float32)
+                       + dh * z)
+        return 0
+
+    jax.lax.fori_loop(0, block_t, body, 0)
+
+
+def gru_bwd(dh_out, gates_x, gh, h_prev, sW, block_t=DEFAULT_BLOCK_T,
+            interpret=False):
+    """Fused GRU backward -> (dgx [T,B,3H], dgh [T,B,3H])."""
+    T, B, H = dh_out.shape
+    H3 = 3 * H
+    assert T % block_t == 0
+    ngrid = T // block_t
+    kernel = functools.partial(_gru_bwd_kernel, block_t=block_t, H=H)
+
+    def rev(i):
+        return (ngrid - 1 - i, 0, 0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(ngrid,),
+        in_specs=[
+            pl.BlockSpec((block_t, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, H3), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, H3), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H3, H), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_t, B, H3), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, H3), rev, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H3), dh_out.dtype),
+            jax.ShapeDtypeStruct((T, B, H3), dh_out.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        interpret=interpret,
+    )(dh_out, gates_x, gh, h_prev, sW)

@@ -1,0 +1,74 @@
+"""Pallas RNN kernels (interpret mode on CPU) vs the lax.scan reference
+implementations in ops/rnn.py."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from taiyaki_tpu.ops import pallas_rnn, rnn
+
+
+def setup(k, T=32, B=8, H=16, seed=0):
+    rng = np.random.default_rng(seed)
+    gates_x = jnp.asarray(rng.normal(size=(T, B, k * H)).astype(np.float32))
+    sW = jnp.asarray(rng.normal(size=(k * H, H)).astype(np.float32) * 0.3)
+    return gates_x, sW
+
+
+def test_lstm_fwd_matches_scan():
+    gates_x, sW = setup(4)
+    h_ref, (href2, c_ref, pre_ref, _) = rnn._lstm_fwd_core(gates_x, sW)
+    h, c, pre = pallas_rnn.lstm_fwd(gates_x, sW, block_t=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pre), np.asarray(pre_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_lstm_bwd_matches_scan():
+    gates_x, sW = setup(4)
+    T, B, _ = gates_x.shape
+    H = sW.shape[1]
+    h, c, pre = pallas_rnn.lstm_fwd(gates_x, sW, block_t=8, interpret=True)
+    rng = np.random.default_rng(1)
+    dh_out = jnp.asarray(rng.normal(size=(T, B, H)).astype(np.float32))
+    c_prev = jnp.concatenate([jnp.zeros((1, B, H)), c[:-1]])
+    dpre = pallas_rnn.lstm_bwd(dh_out, pre, c, c_prev, sW, block_t=8,
+                               interpret=True)
+    # reference: rnn._lstm_bwd returns (dgx, d_sW); dgx == dpre
+    res = (h, c, pre, sW)
+    dgx_ref, _ = rnn._lstm_bwd(res, dh_out)
+    np.testing.assert_allclose(np.asarray(dpre), np.asarray(dgx_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_gru_fwd_matches_scan():
+    gates_x, sW = setup(3)
+    h_ref, (h2, r, z, n, ghn, _) = rnn._gru_fwd_core(gates_x, sW)
+    h, gh = pallas_rnn.gru_fwd(gates_x, sW, block_t=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gh[:, :, 2 * 16:]),
+                               np.asarray(ghn), rtol=1e-5, atol=1e-6)
+
+
+def test_gru_bwd_matches_scan():
+    gates_x, sW = setup(3)
+    T, B, _ = gates_x.shape
+    H = sW.shape[1]
+    h, gh = pallas_rnn.gru_fwd(gates_x, sW, block_t=8, interpret=True)
+    rng = np.random.default_rng(2)
+    dh_out = jnp.asarray(rng.normal(size=(T, B, H)).astype(np.float32))
+    h_prev = jnp.concatenate([jnp.zeros((1, B, H)), h[:-1]])
+    dgx, dgh = pallas_rnn.gru_bwd(dh_out, gates_x, gh, h_prev, sW,
+                                  block_t=8, interpret=True)
+    _, (h2, r, z, n, ghn, _) = rnn._gru_fwd_core(gates_x, sW)
+    res = (h, r, z, n, ghn, sW)
+    dgx_ref, d_sW_ref = rnn._gru_bwd(res, dh_out)
+    np.testing.assert_allclose(np.asarray(dgx), np.asarray(dgx_ref),
+                               rtol=1e-4, atol=1e-5)
+    d_sW = jnp.einsum("tbg,tbh->gh", dgh, h_prev)
+    np.testing.assert_allclose(np.asarray(d_sW), np.asarray(d_sW_ref),
+                               rtol=1e-4, atol=1e-4)
