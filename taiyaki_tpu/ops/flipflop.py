@@ -29,6 +29,7 @@ Numerics invariants preserved (SURVEY.md appendix):
   without post-division, matching FlipFlopCRF.backward (ctc.pyx:147-153).
 """
 
+import os
 from functools import partial
 
 import jax
@@ -38,6 +39,38 @@ from taiyaki_tpu import flipflopfings
 
 # Scan unroll factor: amortizes per-iteration loop overhead on TPU.
 _UNROLL = 8
+
+
+def _use_pallas():
+    """Use the Pallas lattice kernels on TPU (trace-time constant)."""
+    if os.environ.get("TAIYAKI_TPU_NO_PALLAS") == "1":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _pad_axis(x, axis, multiple, value):
+    n = x.shape[axis]
+    pad = (-n) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def _pallas_lattice_inputs(stay_all, move_all, valid, block_t):
+    """Pad lattice streams for the Pallas kernels.
+
+    L pads to a lane multiple (128); T pads to block_t with no-op blocks
+    (stay = 0, move = -inf leave the carry and score unchanged).
+    """
+    stay_p = _pad_axis(_pad_axis(stay_all, 2, 128, 0.0), 0, block_t, 0.0)
+    move_p = _pad_axis(_pad_axis(move_all, 2, 128, _NEG), 0, block_t, _NEG)
+    valid_p = _pad_axis(valid.astype(jnp.int32), 1, 128, 0)
+    return stay_p, move_p, valid_p
 
 # Lattice value for impossible states.  Large enough to never win a max,
 # small enough that sums of T of them stay finite in float32.
@@ -136,6 +169,18 @@ def _forward_scores(lp, stay_idx, move_idx, modmove_idx, modmove_fact,
 
     stay_all, move_all = _select_all_scores(lp, sel_stay, sel_move)
 
+    if _use_pallas():
+        from taiyaki_tpu.ops import pallas_crf
+        bt = pallas_crf.DEFAULT_BLOCK_T
+        stay_p, move_p, valid_p = _pallas_lattice_inputs(
+            stay_all, move_all, valid, bt)
+        fwd_final, score, lattice = pallas_crf.crf_forward(
+            stay_p, move_p, valid_p, block_t=bt)
+        last = jnp.clip(seqlens - 1, 0, npos - 1)
+        score = score + jnp.take_along_axis(
+            fwd_final[:, :npos], last[:, None], axis=1)[:, 0]
+        return score, (lattice if collect_lattice else None)
+
     def step(carry, xs):
         fwd, score = carry
         stay_sc, move_sc = xs
@@ -177,9 +222,26 @@ def _grad_scores(lp, stay_idx, move_idx, modmove_idx, modmove_fact, seqlens):
         lp, stay_idx, move_idx, modmove_idx, modmove_fact, seqlens,
         collect_lattice=True)
     stay_all, move_all = _select_all_scores(lp, sel_stay, sel_move)
+    last = jnp.clip(seqlens - 1, 0, npos - 1)
+
+    if _use_pallas():
+        from taiyaki_tpu.ops import pallas_crf
+        bt = pallas_crf.DEFAULT_BLOCK_T
+        stay_p, move_p, valid_p = _pallas_lattice_inputs(
+            stay_all, move_all, valid, bt)
+        post_stay, post_move = pallas_crf.crf_backward_posteriors(
+            stay_p, move_p, fwd_lattice, valid_p,
+            last[:, None].astype(jnp.int32),
+            block_t=pallas_crf.BWD_BLOCK_T)
+        post_stay = post_stay[:nblk, :, :npos]
+        post_move = post_move[:nblk, :, :npos - 1]
+        grad = (jnp.einsum("tbl,bls->tbs", post_stay, sel_stay,
+                           preferred_element_type=jnp.float32)
+                + jnp.einsum("tbl,bls->tbs", post_move, sel_move,
+                             preferred_element_type=jnp.float32))
+        return score, grad
 
     # Backward lattice init: paths end at the final position.
-    last = jnp.clip(seqlens - 1, 0, npos - 1)
     bwd0 = jnp.where((pos == last[:, None]) & valid, 0.0, _NEG)
     bwd0 = jnp.broadcast_to(bwd0.astype(jnp.float32), (nbatch, npos))
 

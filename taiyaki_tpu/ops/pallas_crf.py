@@ -1,0 +1,209 @@
+"""Pallas TPU kernels for the flip-flop CRF lattice recursions.
+
+Completes the survey's flagship design goal: the reference's C/AVX
+forward-backward DP (taiyaki/ctc/c_crf_flipflop.c) as on-device TPU
+kernels.  The surrounding one-hot GEMMs (score selection, gradient
+scatter) stay in XLA where the MXU already handles them; these kernels
+replace only the sequential time recursions, keeping the [B, L] lattice
+carry in VMEM across the grid.
+
+Shapes are padded by the caller: L to a lane multiple, T to a block_t
+multiple (padding rows masked via `valid`).  Numerics are identical to
+the lax.scan path in ops/flipflop.py (per-block max renormalization,
+posterior softmax over 2L-1 transitions).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30
+DEFAULT_BLOCK_T = 8
+# The backward kernel streams 3 inputs + 2 outputs; block_t=4 keeps its
+# double-buffered VMEM footprint under the 16MB budget at L=768, B=64.
+BWD_BLOCK_T = 4
+
+
+def _fwd_kernel(stay_ref, move_ref, valid_ref, fwd_out, score_out,
+                lattice_ref, fwd_carry, score_carry, *, block_t):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        valid = valid_ref[:]
+        B, L = fwd_carry.shape
+        pos0 = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1) == 0
+        fwd_carry[:] = jnp.where(pos0 & (valid > 0), 0.0, _NEG)
+        score_carry[:] = jnp.zeros_like(score_carry)
+
+    def body(k, _):
+        fwd = fwd_carry[:]
+        valid = valid_ref[:] > 0
+        lattice_ref[k] = fwd
+        stay_part = fwd + stay_ref[k]
+        # move into position p from p-1: shift fwd right by one position
+        shifted = pltpu.roll(fwd, 1, 1)
+        move_sc = pltpu.roll(move_ref[k], 1, 1)
+        B, L = fwd.shape
+        col = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+        move_part = jnp.where(col == 0, _NEG, shifted + move_sc)
+        new = jnp.logaddexp(stay_part, move_part)
+        new = jnp.where(valid, new, _NEG)
+        factor = jnp.max(new, axis=1, keepdims=True)
+        fwd_carry[:] = jnp.where(valid, new - factor, _NEG)
+        score_carry[:] = score_carry[:] + factor[:, 0]
+        return 0
+
+    jax.lax.fori_loop(0, block_t, body, 0)
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _():
+        fwd_out[:] = fwd_carry[:]
+        score_out[:] = score_carry[:]
+
+
+def crf_forward(stay_all, move_all, valid, block_t=DEFAULT_BLOCK_T,
+                interpret=False):
+    """Forward lattice pass.
+
+    Args:
+        stay_all: [T, B, L] stay scores (padded; invalid cols arbitrary).
+        move_all: [T, B, L] scores for the move p -> p+1 (column p;
+            column L-1 unused).
+        valid: [B, L] int32 mask (1 = position within sequence).
+
+    Returns:
+        (fwd_final [B, L], score [B] — sum of renorm factors,
+         lattice [T, B, L] — renormalized fwd before each block)
+    """
+    T, B, L = stay_all.shape
+    assert T % block_t == 0
+    kernel = functools.partial(_fwd_kernel, block_t=block_t)
+    return pl.pallas_call(
+        kernel,
+        grid=(T // block_t,),
+        in_specs=[
+            pl.BlockSpec((block_t, B, L), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, L), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, L), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, L), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B,), lambda i: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, L), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, L), jnp.float32),
+            jax.ShapeDtypeStruct((B,), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, L), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, L), jnp.float32),
+            pltpu.VMEM((B,), jnp.float32),
+        ],
+        interpret=interpret,
+    )(stay_all, move_all, valid)
+
+
+def _bwd_kernel(stay_ref, move_ref, lattice_ref, valid_ref, last_ref,
+                post_stay_ref, post_move_ref, bwd_carry, *, block_t):
+    B, L = bwd_carry.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        valid = valid_ref[:] > 0
+        bwd_carry[:] = jnp.where((col == last_ref[:]) & valid, 0.0, _NEG)
+
+    def body(j, _):
+        k = block_t - 1 - j
+        valid = valid_ref[:] > 0
+        bwd_next = bwd_carry[:]
+        stay_sc = stay_ref[k]
+        move_sc = move_ref[k]
+        fwd_curr = lattice_ref[k]
+
+        # posterior over the 2L-1 transitions of this block
+        stay_terms = jnp.where(valid, fwd_curr + bwd_next + stay_sc, _NEG)
+        # move p -> p+1 uses bwd_next shifted left by one (roll takes only
+        # non-negative shifts: left-by-1 == right-by-L-1)
+        bwd_shift = pltpu.roll(bwd_next, L - 1, 1)
+        move_valid = valid & (col < last_ref[:])
+        move_terms = jnp.where(move_valid,
+                               fwd_curr + bwd_shift + move_sc, _NEG)
+        tmax = jnp.maximum(jnp.max(stay_terms, axis=1, keepdims=True),
+                           jnp.max(move_terms, axis=1, keepdims=True))
+        ex_stay = jnp.where(stay_terms > _NEG / 2,
+                            jnp.exp(stay_terms - tmax), 0.0)
+        ex_move = jnp.where(move_terms > _NEG / 2,
+                            jnp.exp(move_terms - tmax), 0.0)
+        denom = (jnp.sum(ex_stay, axis=1, keepdims=True)
+                 + jnp.sum(ex_move, axis=1, keepdims=True))
+        denom = jnp.maximum(denom, 1e-38)
+        post_stay_ref[k] = ex_stay / denom
+        post_move_ref[k] = ex_move / denom
+
+        # backward recursion
+        stay_part = stay_sc + bwd_next
+        move_part = jnp.where(move_valid, move_sc + bwd_shift, _NEG)
+        new = jnp.logaddexp(stay_part, move_part)
+        new = jnp.where(valid, new, _NEG)
+        factor = jnp.max(new, axis=1, keepdims=True)
+        bwd_carry[:] = jnp.where(valid, new - factor, _NEG)
+        return 0
+
+    jax.lax.fori_loop(0, block_t, body, 0)
+
+
+def crf_backward_posteriors(stay_all, move_all, lattice, valid, last,
+                            block_t=BWD_BLOCK_T, interpret=False):
+    """Backward pass emitting per-block transition posteriors.
+
+    Args:
+        stay_all/move_all: as in crf_forward.
+        lattice: [T, B, L] renormalized forward states (crf_forward).
+        valid: [B, L] int32 mask.
+        last: [B, 1] int32 — seqlen - 1 per batch row.
+
+    Returns:
+        (post_stay [T, B, L], post_move [T, B, L]) — post_move column p is
+        the posterior of the move p -> p+1.
+    """
+    T, B, L = stay_all.shape
+    assert T % block_t == 0
+    ngrid = T // block_t
+    kernel = functools.partial(_bwd_kernel, block_t=block_t)
+
+    def rev(i):
+        return (ngrid - 1 - i, 0, 0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(ngrid,),
+        in_specs=[
+            pl.BlockSpec((block_t, B, L), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, L), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, L), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, L), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_t, B, L), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, L), rev, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, L), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, L), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, L), jnp.float32)],
+        interpret=interpret,
+    )(stay_all, move_all, lattice, valid, last)

@@ -1,0 +1,83 @@
+"""Pallas CRF lattice kernels (interpret mode) vs the lax.scan path."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from taiyaki_tpu import flipflopfings
+from taiyaki_tpu.ops import flipflop as ffops
+from taiyaki_tpu.ops import pallas_crf
+
+
+def setup(T=24, B=4, L=12, seed=0):
+    rng = np.random.default_rng(seed)
+    lp = jnp.asarray(rng.normal(size=(T, B, 40)).astype(np.float32))
+    seqs = np.zeros((B, L), dtype=np.int32)
+    seqlens = rng.integers(2, L + 1, size=B).astype(np.int32)
+    for b in range(B):
+        seqs[b, :seqlens[b]] = flipflopfings.flipflop_code(
+            rng.integers(0, 4, size=seqlens[b]))
+    return lp, jnp.asarray(seqs), jnp.asarray(seqlens)
+
+
+def lattice_streams(lp, seqs, seqlens):
+    stay_idx, move_idx = ffops.make_seq_indices(seqs, 4)
+    sel_stay, sel_move = ffops._make_selectors(stay_idx, move_idx, None,
+                                               None, 40)
+    stay_all, move_all = ffops._select_all_scores(lp, sel_stay, sel_move)
+    npos = seqs.shape[1]
+    pos = jnp.arange(npos)[None, :]
+    valid = pos < seqlens[:, None]
+    return stay_idx, move_idx, stay_all, move_all, valid
+
+
+def test_crf_forward_kernel_matches_scan():
+    lp, seqs, seqlens = setup()
+    stay_idx, move_idx, stay_all, move_all, valid = lattice_streams(
+        lp, seqs, seqlens)
+    # scan reference
+    score_ref, lattice_ref = ffops._forward_scores(
+        lp, stay_idx, move_idx, None, None, seqlens, collect_lattice=True)
+    # pallas (interpret)
+    bt = 8
+    stay_p, move_p, valid_p = ffops._pallas_lattice_inputs(
+        stay_all, move_all, valid, bt)
+    fwd_final, score, lattice = pallas_crf.crf_forward(
+        stay_p, move_p, valid_p, block_t=bt, interpret=True)
+    npos = seqs.shape[1]
+    last = jnp.clip(seqlens - 1, 0, npos - 1)
+    score = score + jnp.take_along_axis(
+        fwd_final[:, :npos], last[:, None], axis=1)[:, 0]
+    np.testing.assert_allclose(np.asarray(score), np.asarray(score_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(lattice[:lp.shape[0], :, :npos]),
+        np.asarray(lattice_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_crf_backward_kernel_matches_scan_grad():
+    lp, seqs, seqlens = setup(seed=3)
+    stay_idx, move_idx, stay_all, move_all, valid = lattice_streams(
+        lp, seqs, seqlens)
+    T, B, _ = lp.shape
+    npos = seqs.shape[1]
+    # scan-path gradient (the ground truth)
+    score_ref, grad_ref = ffops._grad_scores(
+        lp, stay_idx, move_idx, None, None, seqlens)
+
+    # pallas path assembled manually (interpret)
+    bt = 8
+    stay_p, move_p, valid_p = ffops._pallas_lattice_inputs(
+        stay_all, move_all, valid, bt)
+    fwd_final, score, lattice = pallas_crf.crf_forward(
+        stay_p, move_p, valid_p, block_t=bt, interpret=True)
+    last = jnp.clip(seqlens - 1, 0, npos - 1)
+    post_stay, post_move = pallas_crf.crf_backward_posteriors(
+        stay_p, move_p, lattice, valid_p,
+        last[:, None].astype(jnp.int32), block_t=bt, interpret=True)
+    sel_stay, sel_move = ffops._make_selectors(stay_idx, move_idx, None,
+                                               None, 40)
+    grad = (jnp.einsum("tbl,bls->tbs", post_stay[:T, :, :npos], sel_stay)
+            + jnp.einsum("tbl,bls->tbs", post_move[:T, :, :npos - 1],
+                         sel_move))
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(grad_ref),
+                               rtol=1e-4, atol=1e-5)
