@@ -153,6 +153,18 @@ def proportion(p):
     return Bounded(float, 0.0, 1.0)(p)
 
 
+probability = proportion
+
+
+def Vector(mytype):
+    """Type for space-separated vectors parsed into numpy arrays."""
+    import numpy as np
+
+    def parse(value):
+        return np.array([mytype(v) for v in value.split()])
+    return parse
+
+
 class DeviceAction(argparse.Action):
     """Normalize device specs: 2 -> 2, 'tpu3' -> 3, 'cpu' -> 'cpu'."""
 
