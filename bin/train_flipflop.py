@@ -19,6 +19,7 @@ import os
 import sys
 import time
 from collections import defaultdict, namedtuple
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -256,6 +257,44 @@ def main(args):
     score_smoothed = helpers.WindowedExpSmoother()
     rejection_dict = defaultdict(int)
     total_bases = total_samples = 0
+
+    def sample_iteration():
+        """Sample and stage all of one iteration's sub-batches (host work).
+
+        Runs on the single prefetch worker so chunk selection for iteration
+        i+1 overlaps the device step for iteration i; a lone worker also
+        keeps the np.random stream sequential, so --seed stays
+        reproducible.
+        """
+        batch_chunk_len = buckets[np.random.randint(len(buckets))]
+        sub_batch_size = train.sub_batch_size_for_chunk(
+            args.min_sub_batch_size, args.chunk_len_max, batch_chunk_len)
+        if mesh is not None:
+            # round to multiple of device count for even sharding
+            per = max(1, sub_batch_size // jax.device_count())
+            sub_batch_size = per * jax.device_count()
+        max_seqlen = train.max_seqlen_for_chunk(
+            batch_chunk_len, stride, args.filter_path_buffer)
+        batches = []
+        rejections_total = defaultdict(int)
+        for _ in range(args.sub_batches):
+            batch, rejections = train.sample_batch(
+                read_data, batch_chunk_len, sub_batch_size, max_seqlen,
+                alphabet_info, filter_params, reverse=args.reverse,
+                standardize=args.standardize, can_labels=can_labels,
+                mod_labels=mod_labels, log=logs.main)
+            for k, v in rejections.items():
+                rejections_total[k] += v
+            if batch.signal.shape[1] < sub_batch_size:
+                # pad batch to static size with repeats for shape stability
+                batch = _pad_batch(batch, sub_batch_size)
+            if mesh is not None:
+                batch = train.shard_batch(batch, mesh)
+            batches.append(batch)
+        return batch_chunk_len, batches, rejections_total
+
+    prefetch = ThreadPoolExecutor(max_workers=1)
+    next_batches = prefetch.submit(sample_iteration)
     time_last = time.time()
     logs.main.write('* Training\n')
     for curr_iter in range(args.niteration):
@@ -267,30 +306,14 @@ def main(args):
                             .format(args.outdir))
         sharpen = sharpen_sched(curr_iter)
         mod_factor = mod_factor_sched(curr_iter)
-        batch_chunk_len = buckets[np.random.randint(len(buckets))]
-        sub_batch_size = train.sub_batch_size_for_chunk(
-            args.min_sub_batch_size, args.chunk_len_max, batch_chunk_len)
-        if mesh is not None:
-            # round to multiple of device count for even sharding
-            per = max(1, sub_batch_size // jax.device_count())
-            sub_batch_size = per * jax.device_count()
-        max_seqlen = train.max_seqlen_for_chunk(
-            batch_chunk_len, stride, args.filter_path_buffer)
+        batch_chunk_len, batches, rejections = next_batches.result()
+        if curr_iter + 1 < args.niteration:
+            next_batches = prefetch.submit(sample_iteration)
+        for k, v in rejections.items():
+            rejection_dict[k] += v
 
         loss_sum = 0.0
-        for _ in range(args.sub_batches):
-            batch, rejections = train.sample_batch(
-                read_data, batch_chunk_len, sub_batch_size, max_seqlen,
-                alphabet_info, filter_params, reverse=args.reverse,
-                standardize=args.standardize, can_labels=can_labels,
-                mod_labels=mod_labels, log=logs.main)
-            for k, v in rejections.items():
-                rejection_dict[k] += v
-            if batch.signal.shape[1] < sub_batch_size:
-                # pad batch to static size with repeats for shape stability
-                batch = _pad_batch(batch, sub_batch_size)
-            if mesh is not None:
-                batch = train.shard_batch(batch, mesh)
+        for batch in batches:
             params, opt_state, loss, grad_maxs = step_fn(
                 params, opt_state, batch, sharpen, mod_factor,
                 jnp.asarray(capper.thresholds))
@@ -356,6 +379,7 @@ def main(args):
             logs.validation.write(VAL_TMPLT.format(curr_iter + 1, rloss))
             time_last = time.time()
 
+    prefetch.shutdown(wait=False)
     if is_lead:
         helpers.save_model(args.outdir, net, params, model_source,
                            model_kwargs, metadata, index=None,
