@@ -39,12 +39,19 @@ def make_optimizer(lr_max, niteration, warmup_batches, lr_warmup, lr_min,
     Returns:
         (optax GradientTransformation, schedule_fn)
     """
-    schedule = optax.cosine_onecycle_schedule(
-        transition_steps=niteration,
-        peak_value=lr_max,
-        pct_start=warmup_batches / niteration,
-        div_factor=lr_max / lr_warmup,
-        final_div_factor=lr_warmup / lr_min)
+    if warmup_batches <= 0:
+        # Degenerate one-cycle (pct_start=0 makes the warmup ramp 0/0 =
+        # nan): no warmup means starting at the peak and decaying.
+        schedule = optax.cosine_decay_schedule(
+            init_value=lr_max, decay_steps=niteration,
+            alpha=lr_min / lr_max)
+    else:
+        schedule = optax.cosine_onecycle_schedule(
+            transition_steps=niteration,
+            peak_value=lr_max,
+            pct_start=warmup_batches / niteration,
+            div_factor=lr_max / lr_warmup,
+            final_div_factor=lr_warmup / lr_min)
     opt = optax.adamw(learning_rate=schedule, b1=adam_betas[0],
                       b2=adam_betas[1], eps=eps,
                       weight_decay=weight_decay)
