@@ -2,9 +2,11 @@
 """Basecall reads with a trained flip-flop model
 (reference: bin/basecall.py).
 
-TPU-native design: one process drives the accelerator; per-read chunks are
-padded to the fixed chunk size so the network + Viterbi decode compile
-once, and host code does only stitching and string assembly.
+TPU-native design: one process drives the accelerator; chunks are padded
+to a fixed [chunk_size, batch] shape so the network + Viterbi decode
+compile once, chunks from consecutive reads are pooled into shared
+device batches (small reads no longer pad a whole batch out alone), and
+host code does only stitching and string assembly.
 """
 
 import argparse
@@ -144,17 +146,21 @@ class Basecaller:
                 np.concatenate(out_mods, axis=1))
 
 
-def process_read(read_filename, read_id, caller, chunk_size, overlap,
-                 read_params, stride, alphabet, reverse_model, fastq,
-                 qscore_scale, qscore_offset, beam=None, signal=None,
-                 can_nmods=None):
-    from taiyaki_tpu import basecall_helpers, qscores
-    from taiyaki_tpu.flipflopfings import path_to_str
+def prepare_read(read_id, signal, chunk_size, overlap, read_params,
+                 reverse_model):
+    """Host-side read staging: normalize + chunk + pad to static shapes.
+
+    Returns a dict carrying the [chunk_size, nchunk, 1] chunks and the
+    stitch metadata needed by finalize_read, or None if there is no
+    signal.  Chunks from many reads are concatenated on the batch axis
+    and sent to the device together (cross-read batching) — the
+    reference instead runs one model call per read
+    (bin/basecall.py:151-242), which underfills wide batches.
+    """
+    from taiyaki_tpu import basecall_helpers
 
     if signal is None:
-        signal = get_signal(read_filename, read_id)
-    if signal is None:
-        return None, None, 0, None
+        return None
     if reverse_model:
         signal = signal[::-1]
     if read_params is None:
@@ -170,8 +176,22 @@ def process_read(read_filename, read_id, caller, chunk_size, overlap,
     if true_len < chunk_size:
         pad = np.zeros((chunk_size - true_len, 1, 1), dtype=np.float32)
         chunks = np.concatenate([chunks, pad], axis=0)
+    return dict(read_id=read_id, chunks=chunks, chunk_starts=chunk_starts,
+                chunk_ends=chunk_ends, true_len=true_len,
+                nsample=len(signal))
 
-    trans, paths, mods = caller(chunks)
+
+def finalize_read(prep, trans, paths, mods, chunk_size, stride, alphabet,
+                  fastq, qscore_scale, qscore_offset, beam=None,
+                  want_mods=False, can_nmods=None):
+    """Host-side post-processing of one read's slice of the device
+    output: stitch, (beam) decode, q-string and mod-score assembly."""
+    from taiyaki_tpu import basecall_helpers, qscores
+    from taiyaki_tpu.flipflopfings import path_to_str
+
+    chunk_starts = prep["chunk_starts"]
+    chunk_ends = prep["chunk_ends"]
+    true_len = prep["true_len"]
     if true_len < chunk_size:
         nblk = -(-true_len // stride)
         trans = trans[:nblk]
@@ -206,7 +226,7 @@ def process_read(read_filename, read_id, caller, chunk_size, overlap,
                            include_first_source=False)
 
     mod_scores = None
-    if caller.want_mods and beam is None:
+    if want_mods and beam is None:
         from taiyaki_tpu.flipflopfings import extract_mod_weights
         stitched_mods = basecall_helpers.stitch_chunks(
             mods, chunk_starts, chunk_ends, stride)
@@ -217,7 +237,7 @@ def process_read(read_filename, read_id, caller, chunk_size, overlap,
         n = min(len(best_path), len(stitched_mods))
         mod_scores = extract_mod_weights(
             stitched_mods[1:n], best_path[:n], can_nmods)[1:]
-    return basecall, qstring, len(signal), mod_scores
+    return basecall, qstring, mod_scores
 
 
 def main():
@@ -293,30 +313,61 @@ def main():
 
     pool = ThreadPoolExecutor(max_workers=max(1, args.jobs))
     fetched = pool.map(fetch, reads)
+    reverse_model = metadata.get("reverse", False)
+
     with open_file_or_stdout(args.output) as fh:
+        # Cross-read batching: pool chunks from consecutive reads and call
+        # the device once the pool holds a full batch, so small reads share
+        # device batches instead of each padding one out alone.
+        pending = []
+        pend_chunks = 0
+
+        def flush():
+            nonlocal nbase, ncalled, nsample, pend_chunks
+            if not pending:
+                return
+            all_chunks = np.concatenate([p["chunks"] for p in pending],
+                                        axis=1)
+            trans, paths, mods = caller(all_chunks)
+            off = 0
+            for p in pending:
+                k = p["chunks"].shape[1]
+                basecall, qstring, mod_scores = finalize_read(
+                    p, trans[:, off:off + k], paths[:, off:off + k],
+                    mods[:, off:off + k], chunk_size, stride,
+                    args.alphabet, args.fastq, args.qscore_scale,
+                    args.qscore_offset, args.beam,
+                    want_mods=caller.want_mods, can_nmods=can_nmods)
+                off += k
+                if mod_writer is not None and mod_scores is not None:
+                    mod_writer["Reads"].create_dataset(
+                        p["read_id"], data=mod_scores.astype(np.float32))
+                if basecall is not None and len(basecall) > 0:
+                    fh.write("{}{}\n{}\n".format(
+                        startcharacter, p["read_id"],
+                        basecall[::-1] if args.reverse else basecall))
+                    nbase += len(basecall)
+                    ncalled += 1
+                    if args.fastq and qstring is not None:
+                        fh.write("+\n{}\n".format(
+                            qstring[::-1] if args.reverse else qstring))
+                nsample += p["nsample"]
+                progress.step()
+            pending.clear()
+            pend_chunks = 0
+
         for read_filename, read_id, signal in fetched:
-            read_params = all_read_params.get(read_id)
-            basecall, qstring, read_nsample, mod_scores = process_read(
-                read_filename, read_id, caller, chunk_size, overlap,
-                read_params, stride, args.alphabet,
-                metadata.get("reverse", False), args.fastq,
-                args.qscore_scale, args.qscore_offset, args.beam,
-                signal=signal, can_nmods=can_nmods)
-            if mod_writer is not None and mod_scores is not None:
-                mod_writer["Reads"].create_dataset(
-                    read_id, data=mod_scores.astype(np.float32))
-            if basecall is not None and len(basecall) > 0:
-                fh.write("{}{}\n{}\n".format(
-                    startcharacter, read_id,
-                    basecall[::-1] if args.reverse else basecall))
-                nbase += len(basecall)
-                ncalled += 1
-                if args.fastq and qstring is not None:
-                    fh.write("+\n{}\n".format(
-                        qstring[::-1] if args.reverse else qstring))
             nread += 1
-            nsample += read_nsample
-            progress.step()
+            prep = prepare_read(read_id, signal, chunk_size, overlap,
+                                all_read_params.get(read_id), reverse_model)
+            if prep is None:
+                progress.step()
+                continue
+            pending.append(prep)
+            pend_chunks += prep["chunks"].shape[1]
+            if pend_chunks >= args.max_concurrent_chunks:
+                flush()
+        flush()
     total_time = time.time() - t0
     sys.stderr.write("* Called {} reads in {:.2f}s\n".format(
         nread, total_time))
