@@ -111,3 +111,15 @@ def test_onecycle_schedule_shape():
     assert abs(float(sched(0)) - 1e-4) < 1e-6
     assert abs(float(sched(10)) - 4e-3) < 1e-4
     assert float(sched(99)) < 1.2e-5
+
+
+def test_zero_warmup_schedule_is_finite():
+    # Regression: warmup_batches=0 made the one-cycle ramp 0/0 = nan,
+    # silently NaN-poisoning params after the first optimizer step.
+    _, sched = train.make_optimizer(
+        lr_max=4e-3, niteration=10, warmup_batches=0, lr_warmup=1e-4,
+        lr_min=1e-5)
+    vals = [float(sched(i)) for i in range(10)]
+    assert all(np.isfinite(v) for v in vals)
+    assert abs(vals[0] - 4e-3) < 1e-6      # starts at peak
+    assert vals[-1] < vals[0]              # decays
