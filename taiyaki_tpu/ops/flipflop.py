@@ -171,7 +171,7 @@ def _forward_scores(lp, stay_idx, move_idx, modmove_idx, modmove_fact,
 
     if _use_pallas():
         from taiyaki_tpu.ops import pallas_crf
-        bt = pallas_crf.DEFAULT_BLOCK_T
+        bt = pallas_crf.fwd_block_t(nbatch)
         stay_p, move_p, valid_p = _pallas_lattice_inputs(
             stay_all, move_all, valid, bt)
         fwd_final, score, lattice = pallas_crf.crf_forward(
@@ -226,13 +226,15 @@ def _grad_scores(lp, stay_idx, move_idx, modmove_idx, modmove_fact, seqlens):
 
     if _use_pallas():
         from taiyaki_tpu.ops import pallas_crf
-        bt = pallas_crf.DEFAULT_BLOCK_T
+        # The forward lattice was padded with fwd_block_t; the (smaller,
+        # also power-of-two) backward block always divides that padding.
+        bt = pallas_crf.fwd_block_t(nbatch)
         stay_p, move_p, valid_p = _pallas_lattice_inputs(
             stay_all, move_all, valid, bt)
         post_stay, post_move = pallas_crf.crf_backward_posteriors(
             stay_p, move_p, fwd_lattice, valid_p,
             last[:, None].astype(jnp.int32),
-            block_t=pallas_crf.BWD_BLOCK_T)
+            block_t=pallas_crf.bwd_block_t(nbatch))
         post_stay = post_stay[:nblk, :, :npos]
         post_move = post_move[:nblk, :, :npos - 1]
         grad = (jnp.einsum("tbl,bls->tbs", post_stay, sel_stay,

@@ -27,6 +27,23 @@ DEFAULT_BLOCK_T = 8
 BWD_BLOCK_T = 4
 
 
+def _scaled_block_t(base, batch_size):
+    """Shrink block_t (power-of-two) so VMEM streams stay within the
+    B=64 budget the base values were tuned for."""
+    bt = base
+    while bt > 1 and bt * batch_size > 64 * base:
+        bt //= 2
+    return bt
+
+
+def fwd_block_t(batch_size):
+    return _scaled_block_t(DEFAULT_BLOCK_T, batch_size)
+
+
+def bwd_block_t(batch_size):
+    return _scaled_block_t(BWD_BLOCK_T, batch_size)
+
+
 def _fwd_kernel(stay_ref, move_ref, valid_ref, fwd_out, score_out,
                 lattice_ref, fwd_carry, score_carry, *, block_t):
     @pl.when(pl.program_id(0) == 0)

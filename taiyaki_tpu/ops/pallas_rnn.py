@@ -34,6 +34,15 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_T = 8
 
 
+def block_t_for(batch_size):
+    """Largest power-of-two block_t whose VMEM footprint matches the
+    B=64/block_t=8 budget (streams scale with block_t * B)."""
+    bt = DEFAULT_BLOCK_T
+    while bt > 1 and bt * batch_size > 64 * DEFAULT_BLOCK_T:
+        bt //= 2
+    return bt
+
+
 def _lstm_fwd_kernel(gx_ref, swt_ref, h_ref, c_ref, pre_ref,
                      h_carry, c_carry, *, block_t, H):
     @pl.when(pl.program_id(0) == 0)

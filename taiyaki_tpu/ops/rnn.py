@@ -92,8 +92,9 @@ def _lstm_fwd(gates_x, sW):
     if _use_pallas():
         from taiyaki_tpu.ops import pallas_rnn
         T = gates_x.shape[0]
-        gx = _pad_time(gates_x, pallas_rnn.DEFAULT_BLOCK_T)
-        h, c, pre = pallas_rnn.lstm_fwd(gx, sW)
+        bt = pallas_rnn.block_t_for(gates_x.shape[1])
+        gx = _pad_time(gates_x, bt)
+        h, c, pre = pallas_rnn.lstm_fwd(gx, sW, block_t=bt)
         return h[:T], (h[:T], c[:T], pre[:T], sW)
     h, res = _lstm_fwd_core(gates_x, sW)
     return h, res
@@ -104,12 +105,12 @@ def _lstm_bwd(res, dh_out):
         from taiyaki_tpu.ops import pallas_rnn
         h, c, pre, sW = res
         T, B, H = h.shape
-        bt = pallas_rnn.DEFAULT_BLOCK_T
+        bt = pallas_rnn.block_t_for(B)
         h_prev = jnp.concatenate([jnp.zeros((1, B, H), h.dtype), h[:-1]])
         c_prev = jnp.concatenate([jnp.zeros((1, B, H), c.dtype), c[:-1]])
         dpre = pallas_rnn.lstm_bwd(
             _pad_time(dh_out, bt), _pad_time(pre, bt), _pad_time(c, bt),
-            _pad_time(c_prev, bt), sW)[:T]
+            _pad_time(c_prev, bt), sW, block_t=bt)[:T]
         d_sW = jnp.einsum("tbg,tbh->gh", dpre, h_prev,
                           preferred_element_type=jnp.float32)
         return dpre, d_sW
@@ -192,8 +193,9 @@ def _gru_fwd(gates_x, sW):
     if _use_pallas():
         from taiyaki_tpu.ops import pallas_rnn
         T = gates_x.shape[0]
-        gx = _pad_time(gates_x, pallas_rnn.DEFAULT_BLOCK_T)
-        h, gh = pallas_rnn.gru_fwd(gx, sW)
+        bt = pallas_rnn.block_t_for(gates_x.shape[1])
+        gx = _pad_time(gates_x, bt)
+        h, gh = pallas_rnn.gru_fwd(gx, sW, block_t=bt)
         # Residuals for the Pallas backward: raw gates + hidden matmuls.
         return h[:T], (h[:T], gates_x, gh[:T], sW)
     h, res = _gru_fwd_core(gates_x, sW)
@@ -207,11 +209,11 @@ def _gru_bwd(res, dh_out):
         from taiyaki_tpu.ops import pallas_rnn
         h, gates_x, gh, sW = res
         T, B, H = h.shape
-        bt = pallas_rnn.DEFAULT_BLOCK_T
+        bt = pallas_rnn.block_t_for(B)
         h_prev = jnp.concatenate([jnp.zeros((1, B, H), h.dtype), h[:-1]])
         dgx, dgh = pallas_rnn.gru_bwd(
             _pad_time(dh_out, bt), _pad_time(gates_x, bt),
-            _pad_time(gh, bt), _pad_time(h_prev, bt), sW)
+            _pad_time(gh, bt), _pad_time(h_prev, bt), sW, block_t=bt)
         dgx, dgh = dgx[:T], dgh[:T]
         d_sW = jnp.einsum("tbg,tbh->gh", dgh, h_prev,
                           preferred_element_type=jnp.float32)

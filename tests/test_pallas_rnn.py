@@ -72,3 +72,20 @@ def test_gru_bwd_matches_scan():
     d_sW = jnp.einsum("tbg,tbh->gh", dgh, h_prev)
     np.testing.assert_allclose(np.asarray(d_sW), np.asarray(d_sW_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_block_t_scales_down_with_batch():
+    # VMEM streams scale with block_t * B; larger batches must shrink
+    # block_t (power of two) to stay within the tuned B=64 budget.
+    from taiyaki_tpu.ops import pallas_crf
+    assert pallas_rnn.block_t_for(64) == 8
+    assert pallas_rnn.block_t_for(128) == 4
+    assert pallas_rnn.block_t_for(256) == 2
+    assert pallas_rnn.block_t_for(1024) == 1
+    assert pallas_crf.fwd_block_t(64) == 8
+    assert pallas_crf.fwd_block_t(128) == 4
+    assert pallas_crf.bwd_block_t(64) == 4
+    assert pallas_crf.bwd_block_t(128) == 2
+    # backward block always divides the forward padding
+    for b in (8, 16, 64, 96, 128, 256, 512, 1024):
+        assert pallas_crf.fwd_block_t(b) % pallas_crf.bwd_block_t(b) == 0
