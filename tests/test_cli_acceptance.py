@@ -88,6 +88,37 @@ def test_train_flipflop_smoke(tmp_path):
     assert len(batch_log) == 4  # header + 3 iterations
 
 
+def test_train_resume_from_checkpoint(tmp_path):
+    """Resuming = passing a .checkpoint as the model arg; optimizer state
+    travels with it (reference resumes weights only, helpers.py:98-105)."""
+    common = ["--device", "cpu", "--size", "16", "--stride", "2",
+              "--winlen", "9", "--niteration", "2", "--warmup_batches", "1",
+              "--chunk_len_min", "300", "--chunk_len_max", "400",
+              "--min_sub_batch_size", "4", "--save_every", "2",
+              "--sample_nreads_before_filtering", "50",
+              "--reporting_sub_batches", "10", "--seed", "11"]
+    first = str(tmp_path / "first")
+    r = run([os.path.join(REPO, "bin", "train_flipflop.py")] + common
+            + ["--outdir", first,
+               os.path.join(REPO, "taiyaki_tpu", "models",
+                            "mGru_flipflop.py"), FIXTURE_MSF], timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    ckpt = os.path.join(first, "model_final.checkpoint")
+    with open(ckpt, "rb") as fh:
+        assert pickle.load(fh)["optimizer_state"] is not None
+    second = str(tmp_path / "second")
+    r = run([os.path.join(REPO, "bin", "train_flipflop.py")] + common
+            + ["--outdir", second, ckpt, FIXTURE_MSF], timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    losses1 = [float(line.split("\t")[1]) for line in
+               open(os.path.join(first, "batch.log")).read().splitlines()[1:]]
+    losses2 = [float(line.split("\t")[1]) for line in
+               open(os.path.join(second,
+                                 "batch.log")).read().splitlines()[1:]]
+    # Resumed training carries on from the trained model, not from scratch.
+    assert losses2[0] < losses1[0]
+
+
 def test_upgrade_mapped_signal_v7(tmp_path):
     """Synthesize a v7 file (per-read alphabet attrs) and upgrade it."""
     import h5py
