@@ -21,10 +21,10 @@ needs_fixtures = pytest.mark.skipif(not have_fixtures,
                                     reason="reference fixtures absent")
 
 
-def run(args, timeout=600):
+def run(args, timeout=600, cwd=None):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     return subprocess.run([sys.executable] + args, capture_output=True,
-                          text=True, env=env, timeout=timeout)
+                          text=True, env=env, timeout=timeout, cwd=cwd)
 
 
 def test_dump_json_roundtrip(tmp_path):
@@ -117,6 +117,84 @@ def test_train_resume_from_checkpoint(tmp_path):
                                  "batch.log")).read().splitlines()[1:]]
     # Resumed training carries on from the trained model, not from scratch.
     assert losses2[0] < losses1[0]
+
+
+def test_train_abinitio_smoke(tmp_path):
+    """Bootstrap trainer on a synthesized chunks HDF5 + indexed fasta
+    (reference: bin/train_abinitio.py on /chunks + per-index refs)."""
+    import h5py
+    rng = np.random.default_rng(0)
+    nchunk, chunk_len = 20, 400
+    chunks_path = str(tmp_path / "chunks.hdf5")
+    with h5py.File(chunks_path, "w") as f:
+        f.create_dataset(
+            "chunks", data=rng.normal(size=(nchunk, chunk_len)
+                                      ).astype(np.float32))
+    fasta = tmp_path / "refs.fa"
+    with open(fasta, "w") as fh:
+        for i in range(nchunk):
+            seq = "".join(rng.choice(list("ACGT"), size=40))
+            fh.write(">{}\n{}\n".format(i, seq))
+    outdir = str(tmp_path / "abinitio")
+    r = run([os.path.join(REPO, "bin", "train_abinitio.py"),
+             "--device", "cpu", "--size", "16", "--stride", "2",
+             "--winlen", "9", "--niteration", "2", "--batch_size", "4",
+             "--save_every", "2", "--seed", "2", "--outdir", outdir,
+             os.path.join(REPO, "taiyaki_tpu", "models",
+                          "mGru_flipflop.py"),
+             chunks_path, str(fasta)], timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(os.path.join(outdir, "model_final.checkpoint"))
+    # references are cached as a pickle for future runs
+    assert os.path.exists(str(tmp_path / "refs.pkl"))
+
+
+@needs_fixtures
+def test_misc_diagnostics_smoke(tmp_path):
+    """plot_training / assess_alignment / calibrate_qscores on real
+    fixtures (reference: misc/ diagnostics tier)."""
+    # a real training log from the smoke run above would race; make one
+    outdir = str(tmp_path / "train")
+    r = run([os.path.join(REPO, "bin", "train_flipflop.py"),
+             "--device", "cpu", "--size", "16", "--stride", "2",
+             "--winlen", "9", "--niteration", "3", "--warmup_batches", "1",
+             "--chunk_len_min", "300", "--chunk_len_max", "400",
+             "--min_sub_batch_size", "4", "--save_every", "2",
+             "--sample_nreads_before_filtering", "50",
+             "--reporting_sub_batches", "10", "--seed", "6",
+             "--outdir", outdir,
+             os.path.join(REPO, "taiyaki_tpu", "models",
+                          "mGru_flipflop.py"), FIXTURE_MSF], timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    png = str(tmp_path / "training.png")
+    r = run([os.path.join(REPO, "misc", "plot_training.py"), png, outdir])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.getsize(png) > 0
+
+    aln_dir = "/root/reference/test/data/aligner_output"
+    import glob as globmod
+    sams = sorted(globmod.glob(os.path.join(aln_dir, "*.sam")))
+    r = run([os.path.join(REPO, "misc", "assess_alignment.py"),
+             "--data_name", "fixture", "--no-output_plot"] + sams,
+            cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "fixture" in r.stdout
+
+    # calibrate wants fastqs + alignment_summary.txt in one directory
+    calib_dir = tmp_path / "calib_in"
+    calib_dir.mkdir()
+    fq_dir = "/root/reference/test/data/basecaller_output"
+    for f in os.listdir(fq_dir):
+        if f.endswith(".fastq"):
+            os.symlink(os.path.join(fq_dir, f), str(calib_dir / f))
+    os.symlink(os.path.join(aln_dir, "alignment_summary.txt"),
+               str(calib_dir / "alignment_summary.txt"))
+    plot = str(tmp_path / "qcal.png")
+    r = run([os.path.join(REPO, "misc", "calibrate_qscores_byread.py"),
+             "--input_directory", str(calib_dir),
+             "--plot_filename", plot])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "shift" in r.stdout or "scale" in r.stdout
 
 
 def test_upgrade_mapped_signal_v7(tmp_path):
