@@ -1,0 +1,136 @@
+"""Smoke tests for the remaining misc/ and squiggle bin/ scripts as
+subprocesses (reference's acceptance tier covers the same surfaces via
+workflow shells; these run under plain pytest)."""
+
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXTURE_MSF = ("/root/reference/test/data/mapped_signal_file/"
+               "mapped_reads_0.hdf5")
+STRAND_LIST = "/root/reference/test/data/strand_lists/strand_list.txt"
+TORCH_CKPT = ("/root/reference/models/"
+              "mGru_flipflop_remapping_model_r9_DNA.checkpoint")
+CONVERTED = os.path.join(REPO, "tests", "data",
+                         "mGru_remap_converted.checkpoint")
+
+needs_fixtures = pytest.mark.skipif(
+    not os.path.exists(FIXTURE_MSF), reason="reference fixtures absent")
+
+
+def run(args, timeout=600, cwd=None):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    return subprocess.run([sys.executable] + args, capture_output=True,
+                          text=True, env=env, timeout=timeout, cwd=cwd)
+
+
+@needs_fixtures
+def test_split_strandlist(tmp_path):
+    r = run([os.path.join(REPO, "misc", "split_strandlist.py"),
+             "--nparts", "2", "--prefix", str(tmp_path / "part"),
+             STRAND_LIST])
+    assert r.returncode == 0, r.stderr[-1000:]
+    parts = sorted(p for p in os.listdir(tmp_path))
+    assert len(parts) == 2
+    total = 0
+    for p in parts:
+        lines = open(str(tmp_path / p)).read().splitlines()
+        assert lines[0].split("\t")[0] == "filename"
+        total += len(lines) - 1
+    assert total == len(open(STRAND_LIST).read().splitlines()) - 1
+
+
+@needs_fixtures
+def test_check_hdf5_contents():
+    r = run([os.path.join(REPO, "misc", "check_hdf5_contents.py"),
+             FIXTURE_MSF])
+    assert r.returncode == 0, r.stderr[-1000:]
+    assert "Reads" in r.stdout or "alphabet" in r.stdout
+
+
+@needs_fixtures
+def test_inspect_mapped_signal_alphabet():
+    r = run([os.path.join(REPO, "misc",
+                          "convert_alphabet_or_inspect_mapped_signal_file"
+                          ".py"), FIXTURE_MSF, "--print_only"])
+    assert r.returncode == 0, r.stderr[-1000:]
+    assert "ACGT" in r.stdout + r.stderr
+
+
+@needs_fixtures
+def test_plot_mapped_signals(tmp_path):
+    out = str(tmp_path / "mapped.png")
+    r = run([os.path.join(REPO, "misc", "plot_mapped_signals.py"),
+             "--output", out, "--nreads", "2", "--quiet", FIXTURE_MSF])
+    assert r.returncode == 0, r.stderr[-1000:]
+    assert os.path.getsize(out) > 0
+
+
+def test_motif(tmp_path):
+    refs = tmp_path / "refs.fa"
+    refs.write_text(">r1\nACGTACGTACGTAAAA\n>r2\nTTTTACGTACGTACGT\n")
+    coords = tmp_path / "coords.tsv"
+    coords.write_text("filename\tpos\nr1\t4\nr2\t8\n")
+    r = run([os.path.join(REPO, "misc", "motif.py"), str(refs),
+             str(coords)])
+    assert r.returncode == 0, r.stderr[-1000:]
+    assert r.stdout.strip()
+
+
+@pytest.mark.skipif(not os.path.exists(TORCH_CKPT),
+                    reason="reference torch checkpoint absent")
+def test_import_torch_checkpoint_matches_pinned(tmp_path):
+    """Importing the shipped torch remapping model reproduces the pinned
+    converted checkpoint's parameters exactly."""
+    out = str(tmp_path / "imported.checkpoint")
+    r = run([os.path.join(REPO, "misc", "import_torch_checkpoint.py"),
+             TORCH_CKPT, out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    with open(out, "rb") as fh:
+        got = pickle.load(fh)
+    with open(CONVERTED, "rb") as fh:
+        expected = pickle.load(fh)
+
+    import jax
+    g_leaves = jax.tree.leaves(got["params"])
+    e_leaves = jax.tree.leaves(expected["params"])
+    assert len(g_leaves) == len(e_leaves)
+    for g, e in zip(g_leaves, e_leaves):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(e))
+
+
+@needs_fixtures
+def test_squiggle_train_predict_map(tmp_path):
+    """train_squiggle -> predict_squiggle -> map_to_squiggle end to end."""
+    outdir = str(tmp_path / "squiggle")
+    r = run([os.path.join(REPO, "bin", "train_squiggle.py"),
+             "--device", "cpu", "--size", "8", "--depth", "2",
+             "--winlen", "5", "--target_len", "100", "--batch_size", "6",
+             "--niteration", "2", "--save_every", "2", "--seed", "4",
+             "--sample_nreads_before_filtering", "20",
+             "--outdir", outdir, FIXTURE_MSF], timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    model = os.path.join(outdir, "model_final.checkpoint")
+    assert os.path.exists(model)
+
+    fasta = tmp_path / "in.fa"
+    fasta.write_text(">seq1\nACGTACGTGGCATTACGGA\n")
+    r = run([os.path.join(REPO, "bin", "predict_squiggle.py"),
+             model, str(fasta)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = r.stdout.strip().splitlines()
+    # header + one row per base
+    assert lines[0].split("\t")[0] == "base"
+    assert len(lines) == 1 + len("ACGTACGTGGCATTACGGA")
+
+    reads_dir = "/root/reference/test/data/reads"
+    refs = "/root/reference/test/data/per_read_references.fasta"
+    r = run([os.path.join(REPO, "bin", "map_to_squiggle.py"),
+             "--limit", "1", model, refs, reads_dir], timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert r.stdout.strip()
