@@ -105,6 +105,34 @@ def test_import_torch_checkpoint_matches_pinned(tmp_path):
 
 
 @needs_fixtures
+def test_prepare_mapped_reads_acceptance(tmp_path):
+    """Mirror of the reference's test_prepare_remap: remap the 5 fixture
+    reads against their per-read references, assert the output file
+    passes its own integrity check and chunk mean dwell is physical
+    (reference test/acceptance/test_prepare_remap.py:40-120)."""
+    out = str(tmp_path / "mapped.hdf5")
+    r = run([os.path.join(REPO, "bin", "prepare_mapped_reads.py"),
+             "--jobs", "2",
+             "/root/reference/test/data/reads",
+             "/root/reference/test/data/readparams.tsv", out, CONVERTED,
+             "/root/reference/test/data/per_read_references.fasta"],
+            timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    sys.path.insert(0, REPO)
+    from taiyaki_tpu.data.mapped_signal_files import MappedSignalReader
+    with MappedSignalReader(out) as msr:
+        assert msr.check() == "pass"
+        read_ids = msr.get_read_ids()
+        # 3 of the 5 fixture reads have per-read references
+        assert len(read_ids) == 3
+        read = msr.get_read(sorted(read_ids)[0])
+        chunk = read.get_chunk_with_sample_length(1000, start_sample=10)
+        assert chunk.accepted
+        assert 7.0 < chunk.mean_dwell < 13.0
+
+
+@needs_fixtures
 def test_squiggle_train_predict_map(tmp_path):
     """train_squiggle -> predict_squiggle -> map_to_squiggle end to end."""
     outdir = str(tmp_path / "squiggle")
