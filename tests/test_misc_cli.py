@@ -105,6 +105,27 @@ def test_import_torch_checkpoint_matches_pinned(tmp_path):
 
 
 @needs_fixtures
+def test_get_refs_from_sam(tmp_path):
+    import glob as globmod
+    sams = sorted(globmod.glob(
+        "/root/reference/test/data/aligner_output/*.sam"))
+    out = str(tmp_path / "refs.fa")
+    r = run([os.path.join(REPO, "bin", "get_refs_from_sam.py"),
+             "--output", out,
+             "/root/reference/test/data/genomic_reference.fasta"] + sams)
+    assert r.returncode == 0, r.stderr[-2000:]
+    text = open(out).read()
+    names = [line[1:].split()[0] for line in text.splitlines()
+             if line.startswith(">")]
+    assert len(names) >= 3
+    # the fixture per-read references were built the same way
+    expected = {"db6b45aa-5d21-45cf-a435-05fb8f12e839",
+                "0f776a08-1101-41d4-8097-89136494a46e",
+                "de1508c4-755b-489e-9ffb-51af35c9a7e6"}
+    assert expected.issubset(set(names))
+
+
+@needs_fixtures
 def test_prepare_mapped_reads_acceptance(tmp_path):
     """Mirror of the reference's test_prepare_remap: remap the 5 fixture
     reads against their per-read references, assert the output file
