@@ -104,6 +104,28 @@ def test_import_torch_checkpoint_matches_pinned(tmp_path):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(e))
 
 
+def test_upgrade_model(tmp_path):
+    with open(CONVERTED, "rb") as fh:
+        ckpt = pickle.load(fh)
+    ckpt["metadata"].pop("standardize", None)
+    ckpt["metadata"]["version"] = 2
+    old = str(tmp_path / "old.checkpoint")
+    with open(old, "wb") as fh:
+        pickle.dump(ckpt, fh)
+    out = str(tmp_path / "new.checkpoint")
+    r = run([os.path.join(REPO, "misc", "upgrade_model.py"), old, out])
+    assert r.returncode == 0, r.stderr[-1000:]
+    with open(out, "rb") as fh:
+        upgraded = pickle.load(fh)
+    assert upgraded["metadata"]["version"] == 3
+    assert upgraded["metadata"]["standardize"] is True
+    # torch pickles are routed to the importer with a helpful message
+    r = run([os.path.join(REPO, "misc", "upgrade_model.py"),
+             TORCH_CKPT, str(tmp_path / "nope.checkpoint")])
+    assert r.returncode != 0
+    assert "import_torch_checkpoint" in r.stderr
+
+
 @needs_fixtures
 def test_get_refs_from_sam(tmp_path):
     import glob as globmod
