@@ -101,10 +101,15 @@ def get_signal(read_filename, read_id):
 
 class Basecaller:
     """Jit-once basecalling engine: forward + (posterior) + Viterbi for a
-    fixed [chunk_size, batch] shape."""
+    fixed [chunk_size, batch] shape.
+
+    The full transition tensor is only fetched to the host when something
+    downstream consumes it (q-scores, beam search): for plain Viterbi
+    fasta calls only the [nblk+1, nchunk] paths cross the device-host
+    link, ~40x less traffic per batch."""
 
     def __init__(self, net, params, n_can_state, posterior, temperature,
-                 max_batch, want_mods=False):
+                 max_batch, want_mods=False, want_trans=True):
         import jax
         import jax.numpy as jnp
         from taiyaki_tpu.ops import decode as dec
@@ -112,6 +117,7 @@ class Basecaller:
         self.params = params
         self.max_batch = max_batch
         self.want_mods = want_mods
+        self.want_trans = want_trans
 
         def call_chunks(params, chunks):
             out = net.apply(params, chunks)
@@ -121,14 +127,18 @@ class Basecaller:
             if posterior:
                 trans = jnp.log(dec.flipflop_make_trans(trans) + 1e-8)
             _, _, paths = dec.flipflop_viterbi(trans)
+            if not want_trans:
+                trans = jnp.zeros((trans.shape[0], trans.shape[1], 0),
+                                  trans.dtype)
             return trans, paths, mods
 
         self._fn = jax.jit(call_chunks)
 
     def __call__(self, chunks):
-        """chunks [T, nchunk, 1] -> (trans [nblk, nchunk, S],
-        paths [nblk+1, nchunk], mods [nblk, nchunk, nmodcol]), padding the
-        batch to max_batch so the program compiles once."""
+        """chunks [T, nchunk, 1] -> (trans [nblk, nchunk, S] (or 0 cols
+        when not wanted), paths [nblk+1, nchunk],
+        mods [nblk, nchunk, nmodcol]), padding the batch to max_batch so
+        the program compiles once."""
         n = chunks.shape[1]
         out_trans, out_paths, out_mods = [], [], []
         for i in range(0, n, self.max_batch):
@@ -294,7 +304,8 @@ def main():
         mod_writer.create_group("Reads")
     caller = Basecaller(net, params, n_can_state, args.posterior,
                         args.temperature, args.max_concurrent_chunks,
-                        want_mods=can_nmods is not None)
+                        want_mods=can_nmods is not None,
+                        want_trans=args.fastq or args.beam is not None)
 
     sys.stderr.write("* Calling reads.\n")
     nbase = ncalled = nread = nsample = 0
