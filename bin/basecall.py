@@ -109,15 +109,39 @@ class Basecaller:
     link, ~40x less traffic per batch."""
 
     def __init__(self, net, params, n_can_state, posterior, temperature,
-                 max_batch, want_mods=False, want_trans=True):
+                 max_batch, want_mods=False, want_trans=True,
+                 want_errprobs=False):
         import jax
         import jax.numpy as jnp
+        from taiyaki_tpu import flipflopfings, qscores
+        from taiyaki_tpu.constants import SMALL_VAL
         from taiyaki_tpu.ops import decode as dec
 
         self.params = params
         self.max_batch = max_batch
         self.want_mods = want_mods
         self.want_trans = want_trans
+        self.want_errprobs = want_errprobs
+
+        nbases = flipflopfings.nbase_flipflop(n_can_state)
+        base_mask = np.zeros((n_can_state, nbases), dtype=np.float32)
+        for b in range(nbases):
+            base_mask[qscores.transitions_into_base(b, nbases), b] = 1.0
+
+        def errprobs_on_device(trans, paths):
+            # Same computation as qscores.errprobs_from_trans (which
+            # mirrors the reference exactly, including that the input is
+            # log posteriors): p = weight into called base / weight into
+            # any base; row 0 = -1.
+            baseprobs = trans @ jnp.asarray(base_mask)
+            baseprobs = baseprobs / (
+                jnp.sum(baseprobs, axis=2, keepdims=True) + SMALL_VAL)
+            dest = paths[1:] % nbases
+            p = jnp.take_along_axis(baseprobs, dest[..., None],
+                                    axis=2)[..., 0]
+            return jnp.concatenate(
+                [jnp.full((1, paths.shape[1]), -1.0, jnp.float32),
+                 1.0 - p], axis=0)
 
         def call_chunks(params, chunks):
             out = net.apply(params, chunks)
@@ -127,33 +151,38 @@ class Basecaller:
             if posterior:
                 trans = jnp.log(dec.flipflop_make_trans(trans) + 1e-8)
             _, _, paths = dec.flipflop_viterbi(trans)
+            errprobs = (errprobs_on_device(trans, paths) if want_errprobs
+                        else jnp.zeros((0, paths.shape[1]), jnp.float32))
             if not want_trans:
                 trans = jnp.zeros((trans.shape[0], trans.shape[1], 0),
                                   trans.dtype)
-            return trans, paths, mods
+            return trans, paths, mods, errprobs
 
         self._fn = jax.jit(call_chunks)
 
     def __call__(self, chunks):
         """chunks [T, nchunk, 1] -> (trans [nblk, nchunk, S] (or 0 cols
         when not wanted), paths [nblk+1, nchunk],
-        mods [nblk, nchunk, nmodcol]), padding the batch to max_batch so
-        the program compiles once."""
+        mods [nblk, nchunk, nmodcol], errprobs [nblk+1, nchunk] (or 0
+        rows)), padding the batch to max_batch so the program compiles
+        once."""
         n = chunks.shape[1]
-        out_trans, out_paths, out_mods = [], [], []
+        out_trans, out_paths, out_mods, out_errp = [], [], [], []
         for i in range(0, n, self.max_batch):
             part = chunks[:, i:i + self.max_batch]
             k = part.shape[1]
             if k < self.max_batch:
                 pad = np.repeat(part[:, -1:], self.max_batch - k, axis=1)
                 part = np.concatenate([part, pad], axis=1)
-            trans, paths, mods = self._fn(self.params, part)
+            trans, paths, mods, errp = self._fn(self.params, part)
             out_trans.append(np.asarray(trans[:, :k]))
             out_paths.append(np.asarray(paths[:, :k]))
             out_mods.append(np.asarray(mods[:, :k]))
+            out_errp.append(np.asarray(errp[:, :k]))
         return (np.concatenate(out_trans, axis=1),
                 np.concatenate(out_paths, axis=1),
-                np.concatenate(out_mods, axis=1))
+                np.concatenate(out_mods, axis=1),
+                np.concatenate(out_errp, axis=1))
 
 
 def prepare_read(read_id, signal, chunk_size, overlap, read_params,
@@ -191,8 +220,8 @@ def prepare_read(read_id, signal, chunk_size, overlap, read_params,
                 nsample=len(signal))
 
 
-def finalize_read(prep, trans, paths, mods, chunk_size, stride, alphabet,
-                  fastq, qscore_scale, qscore_offset, beam=None,
+def finalize_read(prep, trans, paths, mods, errprobs, chunk_size, stride,
+                  alphabet, fastq, qscore_scale, qscore_offset, beam=None,
                   want_mods=False, can_nmods=None):
     """Host-side post-processing of one read's slice of the device
     output: stitch, (beam) decode, q-string and mod-score assembly."""
@@ -207,6 +236,7 @@ def finalize_read(prep, trans, paths, mods, chunk_size, stride, alphabet,
         trans = trans[:nblk]
         paths = paths[:nblk + 1]
         mods = mods[:nblk]
+        errprobs = errprobs[:nblk + 1]
 
     if beam is not None:
         from taiyaki_tpu import decodeutil
@@ -226,11 +256,11 @@ def finalize_read(prep, trans, paths, mods, chunk_size, stride, alphabet,
         sys.stderr.write("* Warning: --fastq with --beam emits fasta-style "
                          "records without quality strings.\n")
     elif fastq:
-        chunk_errprobs = qscores.errprobs_from_trans(trans, paths)
-        errprobs = basecall_helpers.stitch_chunks(
-            chunk_errprobs, chunk_starts, chunk_ends, stride)
+        # per-chunk error probs were computed on-device alongside Viterbi
+        stitched_errprobs = basecall_helpers.stitch_chunks(
+            errprobs, chunk_starts, chunk_ends, stride)
         qstring = qscores.path_errprobs_to_qstring(
-            errprobs, best_path, qscore_scale, qscore_offset)
+            stitched_errprobs, best_path, qscore_scale, qscore_offset)
 
     basecall = path_to_str(best_path, alphabet=alphabet,
                            include_first_source=False)
@@ -305,7 +335,8 @@ def main():
     caller = Basecaller(net, params, n_can_state, args.posterior,
                         args.temperature, args.max_concurrent_chunks,
                         want_mods=can_nmods is not None,
-                        want_trans=args.fastq or args.beam is not None)
+                        want_trans=args.beam is not None,
+                        want_errprobs=args.fastq and args.beam is None)
 
     sys.stderr.write("* Calling reads.\n")
     nbase = ncalled = nread = nsample = 0
@@ -339,13 +370,14 @@ def main():
                 return
             all_chunks = np.concatenate([p["chunks"] for p in pending],
                                         axis=1)
-            trans, paths, mods = caller(all_chunks)
+            trans, paths, mods, errprobs = caller(all_chunks)
             off = 0
             for p in pending:
                 k = p["chunks"].shape[1]
                 basecall, qstring, mod_scores = finalize_read(
                     p, trans[:, off:off + k], paths[:, off:off + k],
-                    mods[:, off:off + k], chunk_size, stride,
+                    mods[:, off:off + k], errprobs[:, off:off + k],
+                    chunk_size, stride,
                     args.alphabet, args.fastq, args.qscore_scale,
                     args.qscore_offset, args.beam,
                     want_mods=caller.want_mods, can_nmods=can_nmods)
