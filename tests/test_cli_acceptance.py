@@ -119,6 +119,41 @@ def test_train_resume_from_checkpoint(tmp_path):
     assert losses2[0] < losses1[0]
 
 
+def test_reverse_rna_train_and_basecall(tmp_path):
+    """RNA mode: --reverse trains on 3'->5' signal, stamps the
+    checkpoint metadata, and basecall honours both the model metadata
+    (signal reversal) and its own --reverse flag (output reversal)."""
+    outdir = str(tmp_path / "rna")
+    r = run([os.path.join(REPO, "bin", "train_flipflop.py"),
+             "--device", "cpu", "--size", "16", "--stride", "2",
+             "--winlen", "9", "--niteration", "2", "--warmup_batches", "1",
+             "--chunk_len_min", "300", "--chunk_len_max", "400",
+             "--min_sub_batch_size", "4", "--save_every", "2",
+             "--sample_nreads_before_filtering", "50",
+             "--reporting_sub_batches", "10", "--seed", "8", "--reverse",
+             "--outdir", outdir,
+             os.path.join(REPO, "taiyaki_tpu", "models",
+                          "mGru_flipflop.py"), FIXTURE_MSF], timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    ckpt = os.path.join(outdir, "model_final.checkpoint")
+    with open(ckpt, "rb") as fh:
+        assert pickle.load(fh)["metadata"]["reverse"] is True
+
+    out_fwd = str(tmp_path / "fwd.fa")
+    out_rev = str(tmp_path / "rev.fa")
+    reads = "/root/reference/test/data/reads"
+    for out, extra in ((out_fwd, []), (out_rev, ["--reverse"])):
+        r = run([os.path.join(REPO, "bin", "basecall.py"),
+                 "--device", "cpu", "--output", out, "--quiet"] + extra
+                + [reads, ckpt], timeout=900)
+        assert r.returncode == 0, r.stderr[-2000:]
+    fwd = [line for line in open(out_fwd) if not line.startswith(">")]
+    rev = [line for line in open(out_rev) if not line.startswith(">")]
+    assert len(fwd) == len(rev) == 5
+    for f, v in zip(fwd, rev):
+        assert f.strip() == v.strip()[::-1]
+
+
 def test_train_abinitio_smoke(tmp_path):
     """Bootstrap trainer on a synthesized chunks HDF5 + indexed fasta
     (reference: bin/train_abinitio.py on /chunks + per-index refs)."""
