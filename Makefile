@@ -14,6 +14,7 @@ workflow_test:
 	bash workflow/remap_from_samrefs_then_train_test_workflow.sh
 	bash workflow/remap_from_mod_fasta_then_train_test_mod_workflow.sh
 	bash workflow/remap_from_samrefs_then_train_squiggle_test_workflow.sh
+	bash workflow/remap_from_samrefs_then_train_multireadf5_test_workflow.sh
 
 multidevice_test:
 	bash workflow/test_multidevice.sh
