@@ -180,6 +180,18 @@ def test_prepare_mapped_reads_acceptance(tmp_path):
 
 
 @needs_fixtures
+def test_plot_accuracy_histogram(tmp_path):
+    out = str(tmp_path / "acc")
+    r = run([os.path.join(REPO, "misc",
+                          "plot_accuracy_histogram_from_alignment_summary"
+                          ".py"),
+             "/root/reference/test/data/aligner_output/"
+             "alignment_summary.txt", "--output_name", out])
+    assert r.returncode == 0, r.stderr[-1000:]
+    assert any(f.startswith("acc") for f in os.listdir(tmp_path))
+
+
+@needs_fixtures
 def test_squiggle_train_predict_map(tmp_path):
     """train_squiggle -> predict_squiggle -> map_to_squiggle end to end."""
     outdir = str(tmp_path / "squiggle")
@@ -209,3 +221,14 @@ def test_squiggle_train_predict_map(tmp_path):
              "--limit", "1", model, refs, reads_dir], timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
     assert r.stdout.strip()
+
+    # plot the squiggle prediction TSV
+    tsv = tmp_path / "pred.tsv"
+    r = run([os.path.join(REPO, "bin", "predict_squiggle.py"),
+             model, str(fasta)])
+    tsv.write_text(r.stdout)
+    png = str(tmp_path / "pred.png")
+    r = run([os.path.join(REPO, "misc", "plot_predict_squiggle_output.py"),
+             str(tsv), png])
+    assert r.returncode == 0, r.stderr[-1000:]
+    assert os.path.getsize(png) > 0
