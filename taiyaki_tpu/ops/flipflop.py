@@ -423,6 +423,55 @@ def cat_mod_flipflop_loss(logprob, seqs, seqlens, mod_cats, can_mods_offsets,
 
 # -- partition function ------------------------------------------------------
 
+def _logz_pad_scores(scores, block_t):
+    """[T, B, ntrans] -> [T_pad, B, 128] with -inf lane padding and
+    identity (stay-only) blocks for the T padding."""
+    from taiyaki_tpu.ops import pallas_logz
+    nblk, nbatch, ntrans = scores.shape
+    nbase = _nbase_from_ntrans(ntrans)
+    scores_p = _pad_axis(scores.astype(jnp.float32), 2, pallas_logz.LANES,
+                         _NEG)
+    t_pad = (-nblk) % block_t
+    if t_pad:
+        _, _, stay_cols = pallas_logz.selectors(nbase)
+        ident = jnp.full((pallas_logz.LANES,), _NEG, jnp.float32)
+        ident = ident.at[jnp.asarray(stay_cols)].set(0.0)
+        pad = jnp.broadcast_to(ident, (t_pad, nbatch, pallas_logz.LANES))
+        scores_p = jnp.concatenate([scores_p, pad], axis=0)
+    return scores_p
+
+
+@jax.custom_vjp
+def _logz_pallas(scores):
+    logz, _ = _logz_pallas_fwd(scores)
+    return logz
+
+
+def _logz_pallas_fwd(scores):
+    from taiyaki_tpu.ops import pallas_logz
+    nblk, nbatch, ntrans = scores.shape
+    nbase = _nbase_from_ntrans(ntrans)
+    bt = pallas_logz.DEFAULT_BLOCK_T
+    scores_p = _logz_pad_scores(scores, bt)
+    _, logz, lattice = pallas_logz.logz_forward(scores_p, nbase, block_t=bt)
+    # kernel starts from a renormalized initial state; the scan version
+    # counts the initial logsumexp(init) = log(nbase) in its total
+    logz = logz + jnp.log(float(nbase))
+    return logz, (scores_p, lattice, nblk, ntrans, nbase)
+
+
+def _logz_pallas_bwd(res, g):
+    from taiyaki_tpu.ops import pallas_logz
+    scores_p, lattice, nblk, ntrans, nbase = res
+    bt = pallas_logz.DEFAULT_BLOCK_T
+    post = pallas_logz.logz_backward_posteriors(scores_p, lattice, nbase,
+                                                block_t=bt)
+    return (post[:nblk, :, :ntrans] * g[None, :, None],)
+
+
+_logz_pallas.defvjp(_logz_pallas_fwd, _logz_pallas_bwd)
+
+
 def flipflop_logz(scores):
     """Log partition function of the flip-flop transition lattice.
 
@@ -443,6 +492,9 @@ def flipflop_logz(scores):
     """
     nblk, nbatch, ntrans = scores.shape
     nbase = _nbase_from_ntrans(ntrans)
+
+    if _use_pallas():
+        return _logz_pallas(scores)
 
     init = jnp.concatenate(
         [jnp.zeros((nbatch, nbase), jnp.float32),
