@@ -62,8 +62,8 @@ def _lstm_fwd_kernel(gx_ref, swt_ref, h_ref, c_ref, pre_ref,
         c2 = f * c + i * g
         h2 = o * jnp.tanh(c2)
         h_ref[k] = h2
-        c_ref[k] = c2
-        pre_ref[k] = pre
+        c_ref[k] = c2.astype(c_ref.dtype)
+        pre_ref[k] = pre.astype(pre_ref.dtype)
         h_carry[:] = h2
         c_carry[:] = c2
         return 0
@@ -71,18 +71,23 @@ def _lstm_fwd_kernel(gx_ref, swt_ref, h_ref, c_ref, pre_ref,
     jax.lax.fori_loop(0, block_t, body, 0)
 
 
-def lstm_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False):
+def lstm_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
+             residual_dtype=None):
     """Fused LSTM forward.
 
     Args:
         gates_x: [T, B, 4H] input gates (torch order i,f,g,o); T must be a
             multiple of block_t (callers pad).
         sW: [4H, H] recurrent weights.
+        residual_dtype: storage dtype for the backward-pass residuals
+            (c, pre); bfloat16 halves their HBM stream traffic while h
+            and all arithmetic stay float32.
 
     Returns:
-        (h [T,B,H], c [T,B,H], pre [T,B,4H])
+        (h [T,B,H], c [T,B,H], pre [T,B,4H]) — c/pre in residual_dtype.
     """
     T, B, H4 = gates_x.shape
+    res_dt = residual_dtype or gates_x.dtype
     H = H4 // 4
     assert T % block_t == 0, (T, block_t)
     grid = (T // block_t,)
@@ -107,8 +112,8 @@ def lstm_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False):
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, H), gates_x.dtype),
-            jax.ShapeDtypeStruct((T, B, H), gates_x.dtype),
-            jax.ShapeDtypeStruct((T, B, H4), gates_x.dtype),
+            jax.ShapeDtypeStruct((T, B, H), res_dt),
+            jax.ShapeDtypeStruct((T, B, H4), res_dt),
         ],
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),
@@ -127,17 +132,17 @@ def _lstm_bwd_kernel(dh_ref, pre_ref, c_ref, cprev_ref, sw_ref, dpre_ref,
 
     def body(j, _):
         k = block_t - 1 - j
-        pre = pre_ref[k]
+        pre = pre_ref[k].astype(jnp.float32)
         i = jax.nn.sigmoid(pre[:, :H])
         f = jax.nn.sigmoid(pre[:, H:2 * H])
         g = jnp.tanh(pre[:, 2 * H:3 * H])
         o = jax.nn.sigmoid(pre[:, 3 * H:])
-        tc = jnp.tanh(c_ref[k])
+        tc = jnp.tanh(c_ref[k].astype(jnp.float32))
         dh = dh_ref[k] + dh_carry[:]
         do = dh * tc
         dc = dh * o * (1.0 - tc * tc) + dc_carry[:]
         di = dc * g
-        df = dc * cprev_ref[k]
+        df = dc * cprev_ref[k].astype(jnp.float32)
         dg = dc * i
         dpre = jnp.concatenate(
             [di * i * (1.0 - i), df * f * (1.0 - f),
@@ -202,17 +207,20 @@ def _gru_fwd_kernel(gx_ref, swt_ref, h_ref, gh_ref, h_carry,
         n = jnp.tanh(gx[:, 2 * H:] + r * gh[:, 2 * H:])
         h2 = (1.0 - z) * n + z * h
         h_ref[k] = h2
-        gh_ref[k] = gh
+        gh_ref[k] = gh.astype(gh_ref.dtype)
         h_carry[:] = h2
         return 0
 
     jax.lax.fori_loop(0, block_t, body, 0)
 
 
-def gru_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False):
-    """Fused GRU forward -> (h [T,B,H], gh [T,B,3H])."""
+def gru_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
+            residual_dtype=None):
+    """Fused GRU forward -> (h [T,B,H], gh [T,B,3H]); gh (a backward
+    residual) is stored in residual_dtype."""
     T, B, H3 = gates_x.shape
     H = H3 // 3
+    res_dt = residual_dtype or gates_x.dtype
     assert T % block_t == 0
     kernel = functools.partial(_gru_fwd_kernel, block_t=block_t, H=H)
     return pl.pallas_call(
@@ -232,7 +240,7 @@ def gru_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False):
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, H), gates_x.dtype),
-            jax.ShapeDtypeStruct((T, B, H3), gates_x.dtype),
+            jax.ShapeDtypeStruct((T, B, H3), res_dt),
         ],
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
         interpret=interpret,
@@ -248,7 +256,7 @@ def _gru_bwd_kernel(dh_ref, gx_ref, gh_ref, hprev_ref, sw_ref,
     def body(j, _):
         k = block_t - 1 - j
         gx = gx_ref[k]
-        gh = gh_ref[k]
+        gh = gh_ref[k].astype(jnp.float32)
         h_prev = hprev_ref[k]
         r = jax.nn.sigmoid(gx[:, :H] + gh[:, :H])
         z = jax.nn.sigmoid(gx[:, H:2 * H] + gh[:, H:2 * H])

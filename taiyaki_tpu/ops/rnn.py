@@ -94,7 +94,10 @@ def _lstm_fwd(gates_x, sW):
         T = gates_x.shape[0]
         bt = pallas_rnn.block_t_for(gates_x.shape[1])
         gx = _pad_time(gates_x, bt)
-        h, c, pre = pallas_rnn.lstm_fwd(gx, sW, block_t=bt)
+        # residuals stream in bf16 (arithmetic and h stay f32): halves
+        # their HBM traffic; gates are recomputed from bf16 pre in bwd
+        h, c, pre = pallas_rnn.lstm_fwd(gx, sW, block_t=bt,
+                                        residual_dtype=jnp.bfloat16)
         return h[:T], (h[:T], c[:T], pre[:T], sW)
     h, res = _lstm_fwd_core(gates_x, sW)
     return h, res
@@ -195,7 +198,8 @@ def _gru_fwd(gates_x, sW):
         T = gates_x.shape[0]
         bt = pallas_rnn.block_t_for(gates_x.shape[1])
         gx = _pad_time(gates_x, bt)
-        h, gh = pallas_rnn.gru_fwd(gx, sW, block_t=bt)
+        h, gh = pallas_rnn.gru_fwd(gx, sW, block_t=bt,
+                                   residual_dtype=jnp.bfloat16)
         # Residuals for the Pallas backward: raw gates + hidden matmuls.
         return h[:T], (h[:T], gates_x, gh[:T], sW)
     h, res = _gru_fwd_core(gates_x, sW)

@@ -89,3 +89,27 @@ def test_block_t_scales_down_with_batch():
     # backward block always divides the forward padding
     for b in (8, 16, 64, 96, 128, 256, 512, 1024):
         assert pallas_crf.fwd_block_t(b) % pallas_crf.bwd_block_t(b) == 0
+
+
+def test_lstm_bf16_residuals_close():
+    # bf16 residual storage (c, pre) must keep gradients close to f32
+    gates_x, sW = setup(4)
+    T, B, _ = gates_x.shape
+    H = sW.shape[1]
+    h32, c32, pre32 = pallas_rnn.lstm_fwd(gates_x, sW, block_t=8,
+                                          interpret=True)
+    h16, c16, pre16 = pallas_rnn.lstm_fwd(
+        gates_x, sW, block_t=8, interpret=True,
+        residual_dtype=jnp.bfloat16)
+    # h is unaffected by residual storage
+    np.testing.assert_array_equal(np.asarray(h16), np.asarray(h32))
+    rng = np.random.default_rng(3)
+    dh = jnp.asarray(rng.normal(size=(T, B, H)).astype(np.float32))
+    cp32 = jnp.concatenate([jnp.zeros((1, B, H), c32.dtype), c32[:-1]])
+    cp16 = jnp.concatenate([jnp.zeros((1, B, H), c16.dtype), c16[:-1]])
+    d32 = pallas_rnn.lstm_bwd(dh, pre32, c32, cp32, sW, block_t=8,
+                              interpret=True)
+    d16 = pallas_rnn.lstm_bwd(dh, pre16, c16, cp16, sW, block_t=8,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(d16), np.asarray(d32),
+                               rtol=0.1, atol=0.02)
