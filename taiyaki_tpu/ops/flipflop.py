@@ -174,8 +174,10 @@ def _forward_scores(lp, stay_idx, move_idx, modmove_idx, modmove_fact,
         bt = pallas_crf.fwd_block_t(nbatch)
         stay_p, move_p, valid_p = _pallas_lattice_inputs(
             stay_all, move_all, valid, bt)
+        # lattice is a gradient-only residual: bf16 halves its HBM stream
         fwd_final, score, lattice = pallas_crf.crf_forward(
-            stay_p, move_p, valid_p, block_t=bt)
+            stay_p, move_p, valid_p, block_t=bt,
+            residual_dtype=jnp.bfloat16)
         last = jnp.clip(seqlens - 1, 0, npos - 1)
         score = score + jnp.take_along_axis(
             fwd_final[:, :npos], last[:, None], axis=1)[:, 0]
@@ -234,7 +236,8 @@ def _grad_scores(lp, stay_idx, move_idx, modmove_idx, modmove_fact, seqlens):
         post_stay, post_move = pallas_crf.crf_backward_posteriors(
             stay_p, move_p, fwd_lattice, valid_p,
             last[:, None].astype(jnp.int32),
-            block_t=pallas_crf.bwd_block_t(nbatch))
+            block_t=pallas_crf.bwd_block_t(nbatch),
+            out_dtype=jnp.bfloat16)
         post_stay = post_stay[:nblk, :, :npos]
         post_move = post_move[:nblk, :, :npos - 1]
         grad = (jnp.einsum("tbl,bls->tbs", post_stay, sel_stay,

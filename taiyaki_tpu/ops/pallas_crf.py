@@ -57,7 +57,7 @@ def _fwd_kernel(stay_ref, move_ref, valid_ref, fwd_out, score_out,
     def body(k, _):
         fwd = fwd_carry[:]
         valid = valid_ref[:] > 0
-        lattice_ref[k] = fwd
+        lattice_ref[k] = fwd.astype(lattice_ref.dtype)
         stay_part = fwd + stay_ref[k]
         # move into position p from p-1: shift fwd right by one position
         shifted = pltpu.roll(fwd, 1, 1)
@@ -81,7 +81,7 @@ def _fwd_kernel(stay_ref, move_ref, valid_ref, fwd_out, score_out,
 
 
 def crf_forward(stay_all, move_all, valid, block_t=DEFAULT_BLOCK_T,
-                interpret=False):
+                interpret=False, residual_dtype=None):
     """Forward lattice pass.
 
     Args:
@@ -89,12 +89,15 @@ def crf_forward(stay_all, move_all, valid, block_t=DEFAULT_BLOCK_T,
         move_all: [T, B, L] scores for the move p -> p+1 (column p;
             column L-1 unused).
         valid: [B, L] int32 mask (1 = position within sequence).
+        residual_dtype: storage dtype for the lattice (a gradient-only
+            residual; score/fwd_final stay float32).
 
     Returns:
         (fwd_final [B, L], score [B] — sum of renorm factors,
          lattice [T, B, L] — renormalized fwd before each block)
     """
     T, B, L = stay_all.shape
+    res_dt = residual_dtype or stay_all.dtype
     assert T % block_t == 0
     kernel = functools.partial(_fwd_kernel, block_t=block_t)
     return pl.pallas_call(
@@ -119,7 +122,7 @@ def crf_forward(stay_all, move_all, valid, block_t=DEFAULT_BLOCK_T,
         out_shape=[
             jax.ShapeDtypeStruct((B, L), jnp.float32),
             jax.ShapeDtypeStruct((B,), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, L), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, L), res_dt),
         ],
         scratch_shapes=[
             pltpu.VMEM((B, L), jnp.float32),
@@ -145,7 +148,7 @@ def _bwd_kernel(stay_ref, move_ref, lattice_ref, valid_ref, last_ref,
         bwd_next = bwd_carry[:]
         stay_sc = stay_ref[k]
         move_sc = move_ref[k]
-        fwd_curr = lattice_ref[k]
+        fwd_curr = lattice_ref[k].astype(jnp.float32)
 
         # posterior over the 2L-1 transitions of this block
         stay_terms = jnp.where(valid, fwd_curr + bwd_next + stay_sc, _NEG)
@@ -164,8 +167,8 @@ def _bwd_kernel(stay_ref, move_ref, lattice_ref, valid_ref, last_ref,
         denom = (jnp.sum(ex_stay, axis=1, keepdims=True)
                  + jnp.sum(ex_move, axis=1, keepdims=True))
         denom = jnp.maximum(denom, 1e-38)
-        post_stay_ref[k] = ex_stay / denom
-        post_move_ref[k] = ex_move / denom
+        post_stay_ref[k] = (ex_stay / denom).astype(post_stay_ref.dtype)
+        post_move_ref[k] = (ex_move / denom).astype(post_move_ref.dtype)
 
         # backward recursion
         stay_part = stay_sc + bwd_next
@@ -180,7 +183,8 @@ def _bwd_kernel(stay_ref, move_ref, lattice_ref, valid_ref, last_ref,
 
 
 def crf_backward_posteriors(stay_all, move_all, lattice, valid, last,
-                            block_t=BWD_BLOCK_T, interpret=False):
+                            block_t=BWD_BLOCK_T, interpret=False,
+                            out_dtype=None):
     """Backward pass emitting per-block transition posteriors.
 
     Args:
@@ -194,6 +198,7 @@ def crf_backward_posteriors(stay_all, move_all, lattice, valid, last,
         the posterior of the move p -> p+1.
     """
     T, B, L = stay_all.shape
+    o_dt = out_dtype or stay_all.dtype
     assert T % block_t == 0
     ngrid = T // block_t
     kernel = functools.partial(_bwd_kernel, block_t=block_t)
@@ -218,8 +223,8 @@ def crf_backward_posteriors(stay_all, move_all, lattice, valid, last,
             pl.BlockSpec((block_t, B, L), rev, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, L), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, L), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, L), o_dt),
+            jax.ShapeDtypeStruct((T, B, L), o_dt),
         ],
         scratch_shapes=[pltpu.VMEM((B, L), jnp.float32)],
         interpret=interpret,

@@ -81,3 +81,31 @@ def test_crf_backward_kernel_matches_scan_grad():
                          sel_move))
     np.testing.assert_allclose(np.asarray(grad), np.asarray(grad_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_crf_bf16_residuals_close():
+    # bf16 lattice/posterior storage (gradient-only residuals) must keep
+    # score exact and posteriors close to the f32 kernels
+    lp, seqs, seqlens = setup()
+    _, _, stay_all, move_all, valid = lattice_streams(lp, seqs, seqlens)
+    stay_p, move_p, valid_p = ffops._pallas_lattice_inputs(
+        stay_all, move_all, valid, 8)
+    fwd32, score32, lat32 = pallas_crf.crf_forward(
+        stay_p, move_p, valid_p, block_t=8, interpret=True)
+    fwd16, score16, lat16 = pallas_crf.crf_forward(
+        stay_p, move_p, valid_p, block_t=8, interpret=True,
+        residual_dtype=jnp.bfloat16)
+    # score and final lattice come from the f32 carry: exact
+    np.testing.assert_array_equal(np.asarray(score16), np.asarray(score32))
+    np.testing.assert_array_equal(np.asarray(fwd16), np.asarray(fwd32))
+    last = jnp.clip(seqlens - 1, 0, seqs.shape[1] - 1)[:, None]
+    ps32, pm32 = pallas_crf.crf_backward_posteriors(
+        stay_p, move_p, lat32, valid_p, last.astype(jnp.int32),
+        block_t=4, interpret=True)
+    ps16, pm16 = pallas_crf.crf_backward_posteriors(
+        stay_p, move_p, lat16, valid_p, last.astype(jnp.int32),
+        block_t=4, interpret=True, out_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(ps16, dtype=np.float32),
+                               np.asarray(ps32), atol=0.02)
+    np.testing.assert_allclose(np.asarray(pm16, dtype=np.float32),
+                               np.asarray(pm32), atol=0.02)
