@@ -433,6 +433,11 @@ class Reverse(Layer):
         return {"layer": self.layer.init(rng)}
 
     def apply(self, params, x):
+        # Recurrent layers take the time direction as a kernel argument,
+        # which skips materializing flipped copies of the [T,B,H] streams
+        # in HBM (numerics are identical: same per-step arithmetic).
+        if isinstance(self.layer, (Lstm, GruMod)):
+            return self.layer.apply(params["layer"], x, reverse=True)
         y = self.layer.apply(params["layer"], jnp.flip(x, axis=0))
         return jnp.flip(y, axis=0)
 
@@ -628,10 +633,10 @@ class Lstm(Layer):
             params["b"] = np.zeros(4 * self.size, dtype=np.float32)
         return params
 
-    def apply(self, params, x):
+    def apply(self, params, x, reverse=False):
         from taiyaki_tpu.ops.rnn import lstm_scan
         gates_x = x @ params["iW"].T + params["b"]     # [T, B, 4H], one GEMM
-        return lstm_scan(gates_x, params["sW"])
+        return lstm_scan(gates_x, params["sW"], reverse=reverse)
 
     def json(self, params):
         res = OrderedDict([("type", "LSTM"),
@@ -682,10 +687,10 @@ class GruMod(Layer):
             params["b"] = np.zeros(3 * self.size, dtype=np.float32)
         return params
 
-    def apply(self, params, x):
+    def apply(self, params, x, reverse=False):
         from taiyaki_tpu.ops.rnn import gru_scan
         gates_x = x @ params["iW"].T + params["b"]     # [T, B, 3H], one GEMM
-        return gru_scan(gates_x, params["sW"])
+        return gru_scan(gates_x, params["sW"], reverse=reverse)
 
     def json(self, params):
         res = OrderedDict([("type", "GruMod"),

@@ -43,14 +43,30 @@ def block_t_for(batch_size):
     return bt
 
 
+def _time_maps(ngrid, block_t, descending):
+    """(index_map, in-block step order) for a time traversal direction.
+
+    `descending=True` walks the grid from the last time block to the first
+    and each block from its last row to its first — used by the backward
+    kernels of natural layers AND the forward kernels of `Reverse`d layers
+    (reference flips the data instead, taiyaki/layers.py:117-154; walking
+    the grid backwards skips those HBM round trips entirely).
+    """
+    if descending:
+        return (lambda i: (ngrid - 1 - i, 0, 0),
+                lambda j: block_t - 1 - j)
+    return (lambda i: (i, 0, 0), lambda j: j)
+
+
 def _lstm_fwd_kernel(gx_ref, swt_ref, h_ref, c_ref, pre_ref,
-                     h_carry, c_carry, *, block_t, H):
+                     h_carry, c_carry, *, block_t, H, order):
     @pl.when(pl.program_id(0) == 0)
     def _():
         h_carry[:] = jnp.zeros_like(h_carry)
         c_carry[:] = jnp.zeros_like(c_carry)
 
-    def body(k, _):
+    def body(j, _):
+        k = order(j)
         h = h_carry[:]
         c = c_carry[:]
         pre = gx_ref[k] + jnp.dot(h, swt_ref[:],
@@ -72,7 +88,7 @@ def _lstm_fwd_kernel(gx_ref, swt_ref, h_ref, c_ref, pre_ref,
 
 
 def lstm_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
-             residual_dtype=None):
+             residual_dtype=None, reverse=False):
     """Fused LSTM forward.
 
     Args:
@@ -82,6 +98,9 @@ def lstm_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
         residual_dtype: storage dtype for the backward-pass residuals
             (c, pre); bfloat16 halves their HBM stream traffic while h
             and all arithmetic stay float32.
+        reverse: run the recurrence backwards in time (for `Reverse`d
+            layers) by walking the grid in descending order — outputs stay
+            in natural time positions, no data flips needed.
 
     Returns:
         (h [T,B,H], c [T,B,H], pre [T,B,4H]) — c/pre in residual_dtype.
@@ -90,25 +109,23 @@ def lstm_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
     res_dt = residual_dtype or gates_x.dtype
     H = H4 // 4
     assert T % block_t == 0, (T, block_t)
-    grid = (T // block_t,)
+    ngrid = T // block_t
+    imap, order = _time_maps(ngrid, block_t, descending=reverse)
     swt = sW.T  # [H, 4H]
-    kernel = functools.partial(_lstm_fwd_kernel, block_t=block_t, H=H)
+    kernel = functools.partial(_lstm_fwd_kernel, block_t=block_t, H=H,
+                               order=order)
     return pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(ngrid,),
         in_specs=[
-            pl.BlockSpec((block_t, B, H4), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, H4), imap, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H4), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((block_t, B, H), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, B, H), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, B, H4), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, H), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, H), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, H4), imap, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, H), gates_x.dtype),
@@ -124,14 +141,14 @@ def lstm_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
 
 
 def _lstm_bwd_kernel(dh_ref, pre_ref, c_ref, cprev_ref, sw_ref, dpre_ref,
-                     dh_carry, dc_carry, *, block_t, H):
+                     dh_carry, dc_carry, *, block_t, H, order):
     @pl.when(pl.program_id(0) == 0)
     def _():
         dh_carry[:] = jnp.zeros_like(dh_carry)
         dc_carry[:] = jnp.zeros_like(dc_carry)
 
     def body(j, _):
-        k = block_t - 1 - j
+        k = order(j)
         pre = pre_ref[k].astype(jnp.float32)
         i = jax.nn.sigmoid(pre[:, :H])
         f = jax.nn.sigmoid(pre[:, H:2 * H])
@@ -157,29 +174,33 @@ def _lstm_bwd_kernel(dh_ref, pre_ref, c_ref, cprev_ref, sw_ref, dpre_ref,
 
 
 def lstm_bwd(dh_out, pre, c, c_prev, sW, block_t=DEFAULT_BLOCK_T,
-             interpret=False):
-    """Fused LSTM backward: per-step gate gradients dpre [T,B,4H]."""
+             interpret=False, reverse=False):
+    """Fused LSTM backward: per-step gate gradients dpre [T,B,4H].
+
+    `reverse` is the FORWARD direction of the layer; the gradient chain
+    walks opposite to it (descending time for natural layers, ascending
+    for Reverse'd ones).
+    """
     T, B, H = dh_out.shape
     H4 = 4 * H
     assert T % block_t == 0
     ngrid = T // block_t
-    kernel = functools.partial(_lstm_bwd_kernel, block_t=block_t, H=H)
-
-    def rev(i):
-        return (ngrid - 1 - i, 0, 0)
+    imap, order = _time_maps(ngrid, block_t, descending=not reverse)
+    kernel = functools.partial(_lstm_bwd_kernel, block_t=block_t, H=H,
+                               order=order)
 
     return pl.pallas_call(
         kernel,
         grid=(ngrid,),
         in_specs=[
-            pl.BlockSpec((block_t, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, B, H4), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, H), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, H4), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, H), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, H), imap, memory_space=pltpu.VMEM),
             pl.BlockSpec((H4, H), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_t, B, H4), rev,
+        out_specs=pl.BlockSpec((block_t, B, H4), imap,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, B, H4), dh_out.dtype),
         scratch_shapes=[
@@ -193,12 +214,13 @@ def lstm_bwd(dh_out, pre, c, c_prev, sW, block_t=DEFAULT_BLOCK_T,
 # -- GRU ---------------------------------------------------------------------
 
 def _gru_fwd_kernel(gx_ref, swt_ref, h_ref, gh_ref, h_carry,
-                    *, block_t, H):
+                    *, block_t, H, order):
     @pl.when(pl.program_id(0) == 0)
     def _():
         h_carry[:] = jnp.zeros_like(h_carry)
 
-    def body(k, _):
+    def body(j, _):
+        k = order(j)
         h = h_carry[:]
         gx = gx_ref[k]
         gh = jnp.dot(h, swt_ref[:], preferred_element_type=jnp.float32)
@@ -215,28 +237,29 @@ def _gru_fwd_kernel(gx_ref, swt_ref, h_ref, gh_ref, h_carry,
 
 
 def gru_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
-            residual_dtype=None):
+            residual_dtype=None, reverse=False):
     """Fused GRU forward -> (h [T,B,H], gh [T,B,3H]); gh (a backward
-    residual) is stored in residual_dtype."""
+    residual) is stored in residual_dtype.  `reverse` runs the recurrence
+    backwards in time (grid walked descending; outputs in natural order)."""
     T, B, H3 = gates_x.shape
     H = H3 // 3
     res_dt = residual_dtype or gates_x.dtype
     assert T % block_t == 0
-    kernel = functools.partial(_gru_fwd_kernel, block_t=block_t, H=H)
+    ngrid = T // block_t
+    imap, order = _time_maps(ngrid, block_t, descending=reverse)
+    kernel = functools.partial(_gru_fwd_kernel, block_t=block_t, H=H,
+                               order=order)
     return pl.pallas_call(
         kernel,
-        grid=(T // block_t,),
+        grid=(ngrid,),
         in_specs=[
-            pl.BlockSpec((block_t, B, H3), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, H3), imap, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H3), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((block_t, B, H), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, B, H3), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, H), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, H3), imap, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, H), gates_x.dtype),
@@ -248,13 +271,13 @@ def gru_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
 
 
 def _gru_bwd_kernel(dh_ref, gx_ref, gh_ref, hprev_ref, sw_ref,
-                    dgx_ref, dgh_ref, dh_carry, *, block_t, H):
+                    dgx_ref, dgh_ref, dh_carry, *, block_t, H, order):
     @pl.when(pl.program_id(0) == 0)
     def _():
         dh_carry[:] = jnp.zeros_like(dh_carry)
 
     def body(j, _):
-        k = block_t - 1 - j
+        k = order(j)
         gx = gx_ref[k]
         gh = gh_ref[k].astype(jnp.float32)
         h_prev = hprev_ref[k]
@@ -281,31 +304,34 @@ def _gru_bwd_kernel(dh_ref, gx_ref, gh_ref, hprev_ref, sw_ref,
 
 
 def gru_bwd(dh_out, gates_x, gh, h_prev, sW, block_t=DEFAULT_BLOCK_T,
-            interpret=False):
-    """Fused GRU backward -> (dgx [T,B,3H], dgh [T,B,3H])."""
+            interpret=False, reverse=False):
+    """Fused GRU backward -> (dgx [T,B,3H], dgh [T,B,3H]).
+
+    `reverse` is the FORWARD direction of the layer; the gradient chain
+    walks opposite to it.
+    """
     T, B, H = dh_out.shape
     H3 = 3 * H
     assert T % block_t == 0
     ngrid = T // block_t
-    kernel = functools.partial(_gru_bwd_kernel, block_t=block_t, H=H)
-
-    def rev(i):
-        return (ngrid - 1 - i, 0, 0)
+    imap, order = _time_maps(ngrid, block_t, descending=not reverse)
+    kernel = functools.partial(_gru_bwd_kernel, block_t=block_t, H=H,
+                               order=order)
 
     return pl.pallas_call(
         kernel,
         grid=(ngrid,),
         in_specs=[
-            pl.BlockSpec((block_t, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, B, H3), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, B, H3), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, H), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, H3), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, H3), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, H), imap, memory_space=pltpu.VMEM),
             pl.BlockSpec((H3, H), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((block_t, B, H3), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, B, H3), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, H3), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, H3), imap, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, H3), dh_out.dtype),

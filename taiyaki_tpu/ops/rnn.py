@@ -10,6 +10,14 @@ runs ~100x slower than the forward scan.  These custom-VJP scans instead:
   [T*B, kH]^T x [T*B, H] GEMM over the stacked per-step gate gradients —
   exactly the shape the MXU wants.
 
+Both scans take `reverse=True` to run the recurrence backwards in time
+with inputs and outputs in NATURAL time order.  The reference implements
+its `Reverse` combinator by flipping the data before and after the inner
+layer (taiyaki/layers.py:117-154); flipping a [T,B,H] stream costs two
+full HBM passes per flip (four per layer counting the VJP), so here the
+kernels walk time in the requested direction instead and no flip is ever
+materialized.
+
 Semantics match taiyaki_tpu.layers.Lstm / GruMod (torch cell equations
 with the redundant hidden bias pinned to zero); layers.py dispatches here.
 
@@ -50,24 +58,18 @@ def _pad_time(x, multiple):
         [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
 
 
+def _prev_state(x, reverse):
+    """States *entering* each step: x[t-1] for a natural scan, x[t+1] for
+    a reversed one (zero state at the boundary)."""
+    zero = jnp.zeros((1,) + x.shape[1:], x.dtype)
+    if reverse:
+        return jnp.concatenate([x[1:], zero])
+    return jnp.concatenate([zero, x[:-1]])
+
+
 # -- LSTM --------------------------------------------------------------------
 
-@jax.custom_vjp
-def lstm_scan(gates_x, sW):
-    """LSTM over time given precomputed input gates.
-
-    Args:
-        gates_x: [T, B, 4H] = x @ iW.T + b (torch gate order i,f,g,o).
-        sW: [4H, H] recurrent weights.
-
-    Returns:
-        h: [T, B, H] hidden states.
-    """
-    h, _ = _lstm_fwd_core(gates_x, sW)
-    return h
-
-
-def _lstm_fwd_core(gates_x, sW):
+def _lstm_fwd_core(gates_x, sW, reverse=False):
     T, B, H4 = gates_x.shape
     H = H4 // 4
     h0 = jnp.zeros((B, H), gates_x.dtype)
@@ -84,97 +86,104 @@ def _lstm_fwd_core(gates_x, sW):
         return (h2, c2), (h2, c2, pre)
 
     _, (h, c, pre) = jax.lax.scan(step, (h0, h0), gates_x,
-                                  unroll=_UNROLL)
+                                  unroll=_UNROLL, reverse=reverse)
     return h, (h, c, pre, sW)
 
 
-def _lstm_fwd(gates_x, sW):
-    if _use_pallas():
-        from taiyaki_tpu.ops import pallas_rnn
-        T = gates_x.shape[0]
-        bt = pallas_rnn.block_t_for(gates_x.shape[1])
-        gx = _pad_time(gates_x, bt)
-        # residuals stream in bf16 (arithmetic and h stay f32): halves
-        # their HBM traffic; gates are recomputed from bf16 pre in bwd
-        h, c, pre = pallas_rnn.lstm_fwd(gx, sW, block_t=bt,
-                                        residual_dtype=jnp.bfloat16)
-        return h[:T], (h[:T], c[:T], pre[:T], sW)
-    h, res = _lstm_fwd_core(gates_x, sW)
-    return h, res
+def _make_lstm_scan(reverse):
+    @jax.custom_vjp
+    def scan_fn(gates_x, sW):
+        h, _ = _lstm_fwd_core(gates_x, sW, reverse)
+        return h
 
+    def fwd(gates_x, sW):
+        if _use_pallas():
+            from taiyaki_tpu.ops import pallas_rnn
+            T = gates_x.shape[0]
+            bt = pallas_rnn.block_t_for(gates_x.shape[1])
+            gx = _pad_time(gates_x, bt)
+            # residuals stream in bf16 (arithmetic and h stay f32): halves
+            # their HBM traffic; gates are recomputed from bf16 pre in bwd
+            h, c, pre = pallas_rnn.lstm_fwd(gx, sW, block_t=bt,
+                                            residual_dtype=jnp.bfloat16,
+                                            reverse=reverse)
+            return h[:T], (h[:T], c[:T], pre[:T], sW)
+        return _lstm_fwd_core(gates_x, sW, reverse)
 
-def _lstm_bwd(res, dh_out):
-    if _use_pallas():
-        from taiyaki_tpu.ops import pallas_rnn
+    def bwd(res, dh_out):
+        # NOTE: _use_pallas() is a trace-time constant, so fwd and bwd
+        # agree on the residual structure.
         h, c, pre, sW = res
         T, B, H = h.shape
-        bt = pallas_rnn.block_t_for(B)
-        h_prev = jnp.concatenate([jnp.zeros((1, B, H), h.dtype), h[:-1]])
-        c_prev = jnp.concatenate([jnp.zeros((1, B, H), c.dtype), c[:-1]])
-        dpre = pallas_rnn.lstm_bwd(
-            _pad_time(dh_out, bt), _pad_time(pre, bt), _pad_time(c, bt),
-            _pad_time(c_prev, bt), sW, block_t=bt)[:T]
-        d_sW = jnp.einsum("tbg,tbh->gh", dpre, h_prev,
+        h_prev = _prev_state(h, reverse)
+        c_prev = _prev_state(c, reverse)
+        if _use_pallas():
+            from taiyaki_tpu.ops import pallas_rnn
+            bt = pallas_rnn.block_t_for(B)
+            dpre = pallas_rnn.lstm_bwd(
+                _pad_time(dh_out, bt), _pad_time(pre, bt),
+                _pad_time(c, bt), _pad_time(c_prev, bt), sW,
+                block_t=bt, reverse=reverse)[:T]
+            d_sW = jnp.einsum("tbg,tbh->gh", dpre, h_prev,
+                              preferred_element_type=jnp.float32)
+            return dpre, d_sW
+
+        def step(carry, xs):
+            dh_next, dc_next = carry
+            dh_t, pre_t, c_t, c_prev_t = xs
+            i = jax.nn.sigmoid(pre_t[:, :H])
+            f = jax.nn.sigmoid(pre_t[:, H:2 * H])
+            g = jnp.tanh(pre_t[:, 2 * H:3 * H])
+            o = jax.nn.sigmoid(pre_t[:, 3 * H:])
+            tc = jnp.tanh(c_t)
+            dh = dh_t + dh_next
+            do = dh * tc
+            dc = dh * o * (1.0 - tc * tc) + dc_next
+            di = dc * g
+            df = dc * c_prev_t
+            dg = dc * i
+            dpre = jnp.concatenate(
+                [di * i * (1.0 - i), df * f * (1.0 - f),
+                 dg * (1.0 - g * g), do * o * (1.0 - o)], axis=1)
+            dh_prev = dpre @ sW
+            dc_prev = dc * f
+            return (dh_prev, dc_prev), dpre
+
+        zero = jnp.zeros((B, H), h.dtype)
+        # the gradient chain walks opposite to the forward direction
+        _, dpre_all = jax.lax.scan(step, (zero, zero),
+                                   (dh_out, pre, c, c_prev),
+                                   reverse=not reverse, unroll=_UNROLL)
+        # Weight gradient as one big GEMM over all steps.
+        d_sW = jnp.einsum("tbg,tbh->gh", dpre_all, h_prev,
                           preferred_element_type=jnp.float32)
-        return dpre, d_sW
-    h, c, pre, sW = res
-    T, B, H = h.shape
-    # States *entering* each step.
-    h_prev = jnp.concatenate([jnp.zeros((1, B, H), h.dtype), h[:-1]])
-    c_prev = jnp.concatenate([jnp.zeros((1, B, H), c.dtype), c[:-1]])
+        return dpre_all, d_sW
 
-    def step(carry, xs):
-        dh_next, dc_next = carry
-        dh_t, pre_t, c_t, c_prev_t = xs
-        i = jax.nn.sigmoid(pre_t[:, :H])
-        f = jax.nn.sigmoid(pre_t[:, H:2 * H])
-        g = jnp.tanh(pre_t[:, 2 * H:3 * H])
-        o = jax.nn.sigmoid(pre_t[:, 3 * H:])
-        tc = jnp.tanh(c_t)
-        dh = dh_t + dh_next
-        do = dh * tc
-        dc = dh * o * (1.0 - tc * tc) + dc_next
-        di = dc * g
-        df = dc * c_prev_t
-        dg = dc * i
-        dpre = jnp.concatenate(
-            [di * i * (1.0 - i), df * f * (1.0 - f),
-             dg * (1.0 - g * g), do * o * (1.0 - o)], axis=1)
-        dh_prev = dpre @ sW
-        dc_prev = dc * f
-        return (dh_prev, dc_prev), dpre
-
-    zero = jnp.zeros((B, H), h.dtype)
-    _, dpre_all = jax.lax.scan(step, (zero, zero),
-                               (dh_out, pre, c, c_prev), reverse=True,
-                               unroll=_UNROLL)
-    # Weight gradient as one big GEMM over all steps.
-    d_sW = jnp.einsum("tbg,tbh->gh", dpre_all, h_prev,
-                      preferred_element_type=jnp.float32)
-    return dpre_all, d_sW
+    scan_fn.defvjp(fwd, bwd)
+    return scan_fn
 
 
-lstm_scan.defvjp(_lstm_fwd, _lstm_bwd)
+_lstm_scan_fns = {False: _make_lstm_scan(False), True: _make_lstm_scan(True)}
 
 
-# -- GRU (torch/CUDNN variant: reset gate applied to the hidden matmul) ------
-
-@jax.custom_vjp
-def gru_scan(gates_x, sW):
-    """GRU over time given precomputed input gates.
+def lstm_scan(gates_x, sW, reverse=False):
+    """LSTM over time given precomputed input gates.
 
     Args:
-        gates_x: [T, B, 3H] = x @ iW.T + b (CUDNN gate order r,z,n).
-        sW: [3H, H] recurrent weights.
+        gates_x: [T, B, 4H] = x @ iW.T + b (torch gate order i,f,g,o).
+        sW: [4H, H] recurrent weights.
+        reverse: run the recurrence backwards in time (inputs/outputs stay
+            in natural time order).
 
     Returns:
         h: [T, B, H] hidden states.
     """
-    h, _ = _gru_fwd_core(gates_x, sW)
-    return h
+    return _lstm_scan_fns[bool(reverse)](gates_x, sW)
 
 
-def _gru_fwd_core(gates_x, sW):
+# -- GRU (torch/CUDNN variant: reset gate applied to the hidden matmul) ------
+
+def _gru_fwd_core(gates_x, sW, reverse=False):
     T, B, H3 = gates_x.shape
     H = H3 // 3
     h0 = jnp.zeros((B, H), gates_x.dtype)
@@ -188,67 +197,89 @@ def _gru_fwd_core(gates_x, sW):
         return h2, (h2, r, z, n, gh[:, 2 * H:])
 
     _, (h, r, z, n, ghn) = jax.lax.scan(step, h0, gates_x,
-                                        unroll=_UNROLL)
+                                        unroll=_UNROLL, reverse=reverse)
     return h, (h, r, z, n, ghn, sW)
 
 
-def _gru_fwd(gates_x, sW):
-    if _use_pallas():
-        from taiyaki_tpu.ops import pallas_rnn
-        T = gates_x.shape[0]
-        bt = pallas_rnn.block_t_for(gates_x.shape[1])
-        gx = _pad_time(gates_x, bt)
-        h, gh = pallas_rnn.gru_fwd(gx, sW, block_t=bt,
-                                   residual_dtype=jnp.bfloat16)
-        # Residuals for the Pallas backward: raw gates + hidden matmuls.
-        return h[:T], (h[:T], gates_x, gh[:T], sW)
-    h, res = _gru_fwd_core(gates_x, sW)
-    return h, res
+def _make_gru_scan(reverse):
+    @jax.custom_vjp
+    def scan_fn(gates_x, sW):
+        h, _ = _gru_fwd_core(gates_x, sW, reverse)
+        return h
 
+    def fwd(gates_x, sW):
+        if _use_pallas():
+            from taiyaki_tpu.ops import pallas_rnn
+            T = gates_x.shape[0]
+            bt = pallas_rnn.block_t_for(gates_x.shape[1])
+            gx = _pad_time(gates_x, bt)
+            h, gh = pallas_rnn.gru_fwd(gx, sW, block_t=bt,
+                                       residual_dtype=jnp.bfloat16,
+                                       reverse=reverse)
+            # Residuals for the Pallas backward: raw gates + hidden matmuls.
+            return h[:T], (h[:T], gates_x, gh[:T], sW)
+        return _gru_fwd_core(gates_x, sW, reverse)
 
-def _gru_bwd(res, dh_out):
-    # NOTE: _use_pallas() is a trace-time constant, so fwd and bwd agree
-    # on the residual structure.
-    if _use_pallas():
-        from taiyaki_tpu.ops import pallas_rnn
-        h, gates_x, gh, sW = res
+    def bwd(res, dh_out):
+        if _use_pallas():
+            from taiyaki_tpu.ops import pallas_rnn
+            h, gates_x, gh, sW = res
+            T, B, H = h.shape
+            bt = pallas_rnn.block_t_for(B)
+            h_prev = _prev_state(h, reverse)
+            dgx, dgh = pallas_rnn.gru_bwd(
+                _pad_time(dh_out, bt), _pad_time(gates_x, bt),
+                _pad_time(gh, bt), _pad_time(h_prev, bt), sW,
+                block_t=bt, reverse=reverse)
+            dgx, dgh = dgx[:T], dgh[:T]
+            d_sW = jnp.einsum("tbg,tbh->gh", dgh, h_prev,
+                              preferred_element_type=jnp.float32)
+            return dgx, d_sW
+        h, r, z, n, ghn, sW = res
         T, B, H = h.shape
-        bt = pallas_rnn.block_t_for(B)
-        h_prev = jnp.concatenate([jnp.zeros((1, B, H), h.dtype), h[:-1]])
-        dgx, dgh = pallas_rnn.gru_bwd(
-            _pad_time(dh_out, bt), _pad_time(gates_x, bt),
-            _pad_time(gh, bt), _pad_time(h_prev, bt), sW, block_t=bt)
-        dgx, dgh = dgx[:T], dgh[:T]
-        d_sW = jnp.einsum("tbg,tbh->gh", dgh, h_prev,
+        h_prev = _prev_state(h, reverse)
+
+        def step(dh_next, xs):
+            dh_t, r_t, z_t, n_t, ghn_t, h_prev_t = xs
+            dh = dh_t + dh_next
+            dz = dh * (h_prev_t - n_t)
+            dn = dh * (1.0 - z_t)
+            dn_pre = dn * (1.0 - n_t * n_t)
+            dr = dn_pre * ghn_t
+            dr_pre = dr * r_t * (1.0 - r_t)
+            dz_pre = dz * z_t * (1.0 - z_t)
+            # gradient wrt the hidden-matmul outputs gh = h_prev @ sW.T
+            dgh = jnp.concatenate([dr_pre, dz_pre, dn_pre * r_t], axis=1)
+            dh_prev = dgh @ sW + dh * z_t
+            # gradient wrt the input gates gx
+            dgx = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
+            return dh_prev, (dgx, dgh)
+
+        zero = jnp.zeros((B, H), h.dtype)
+        _, (dgx_all, dgh_all) = jax.lax.scan(
+            step, zero, (dh_out, r, z, n, ghn, h_prev),
+            reverse=not reverse, unroll=_UNROLL)
+        d_sW = jnp.einsum("tbg,tbh->gh", dgh_all, h_prev,
                           preferred_element_type=jnp.float32)
-        return dgx, d_sW
-    h, r, z, n, ghn, sW = res
-    T, B, H = h.shape
-    h_prev = jnp.concatenate([jnp.zeros((1, B, H), h.dtype), h[:-1]])
+        return dgx_all, d_sW
 
-    def step(dh_next, xs):
-        dh_t, r_t, z_t, n_t, ghn_t, h_prev_t = xs
-        dh = dh_t + dh_next
-        dz = dh * (h_prev_t - n_t)
-        dn = dh * (1.0 - z_t)
-        dn_pre = dn * (1.0 - n_t * n_t)
-        dr = dn_pre * ghn_t
-        dr_pre = dr * r_t * (1.0 - r_t)
-        dz_pre = dz * z_t * (1.0 - z_t)
-        # gradient wrt the hidden-matmul outputs gh = h_prev @ sW.T
-        dgh = jnp.concatenate([dr_pre, dz_pre, dn_pre * r_t], axis=1)
-        dh_prev = dgh @ sW + dh * z_t
-        # gradient wrt the input gates gx
-        dgx = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
-        return dh_prev, (dgx, dgh)
-
-    zero = jnp.zeros((B, H), h.dtype)
-    _, (dgx_all, dgh_all) = jax.lax.scan(
-        step, zero, (dh_out, r, z, n, ghn, h_prev), reverse=True,
-        unroll=_UNROLL)
-    d_sW = jnp.einsum("tbg,tbh->gh", dgh_all, h_prev,
-                      preferred_element_type=jnp.float32)
-    return dgx_all, d_sW
+    scan_fn.defvjp(fwd, bwd)
+    return scan_fn
 
 
-gru_scan.defvjp(_gru_fwd, _gru_bwd)
+_gru_scan_fns = {False: _make_gru_scan(False), True: _make_gru_scan(True)}
+
+
+def gru_scan(gates_x, sW, reverse=False):
+    """GRU over time given precomputed input gates.
+
+    Args:
+        gates_x: [T, B, 3H] = x @ iW.T + b (CUDNN gate order r,z,n).
+        sW: [3H, H] recurrent weights.
+        reverse: run the recurrence backwards in time (inputs/outputs stay
+            in natural time order).
+
+    Returns:
+        h: [T, B, H] hidden states.
+    """
+    return _gru_scan_fns[bool(reverse)](gates_x, sW)

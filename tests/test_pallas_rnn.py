@@ -37,9 +37,9 @@ def test_lstm_bwd_matches_scan():
     c_prev = jnp.concatenate([jnp.zeros((1, B, H)), c[:-1]])
     dpre = pallas_rnn.lstm_bwd(dh_out, pre, c, c_prev, sW, block_t=8,
                                interpret=True)
-    # reference: rnn._lstm_bwd returns (dgx, d_sW); dgx == dpre
-    res = (h, c, pre, sW)
-    dgx_ref, _ = rnn._lstm_bwd(res, dh_out)
+    # reference: VJP through the lax.scan fallback (dgx == dpre for LSTM)
+    _, vjp_fn = jax.vjp(lambda gx: rnn.lstm_scan(gx, sW), gates_x)
+    dgx_ref, = vjp_fn(dh_out)
     np.testing.assert_allclose(np.asarray(dpre), np.asarray(dgx_ref),
                                rtol=1e-4, atol=1e-5)
 
@@ -64,14 +64,67 @@ def test_gru_bwd_matches_scan():
     h_prev = jnp.concatenate([jnp.zeros((1, B, H)), h[:-1]])
     dgx, dgh = pallas_rnn.gru_bwd(dh_out, gates_x, gh, h_prev, sW,
                                   block_t=8, interpret=True)
-    _, (h2, r, z, n, ghn, _) = rnn._gru_fwd_core(gates_x, sW)
-    res = (h, r, z, n, ghn, sW)
-    dgx_ref, d_sW_ref = rnn._gru_bwd(res, dh_out)
+    _, vjp_fn = jax.vjp(lambda gx, s: rnn.gru_scan(gx, s), gates_x, sW)
+    dgx_ref, d_sW_ref = vjp_fn(dh_out)
     np.testing.assert_allclose(np.asarray(dgx), np.asarray(dgx_ref),
                                rtol=1e-4, atol=1e-5)
     d_sW = jnp.einsum("tbg,tbh->gh", dgh, h_prev)
     np.testing.assert_allclose(np.asarray(d_sW), np.asarray(d_sW_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_lstm_reverse_matches_flip():
+    # reversed-traversal kernel == flip -> natural kernel -> flip
+    gates_x, sW = setup(4)
+    h_r, c_r, pre_r = pallas_rnn.lstm_fwd(gates_x, sW, block_t=8,
+                                          interpret=True, reverse=True)
+    flip = lambda a: jnp.flip(a, axis=0)
+    h_f, c_f, pre_f = pallas_rnn.lstm_fwd(flip(gates_x), sW, block_t=8,
+                                          interpret=True)
+    np.testing.assert_allclose(np.asarray(h_r), np.asarray(flip(h_f)),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(c_r), np.asarray(flip(c_f)),
+                               rtol=1e-6, atol=1e-7)
+    # backward of the reversed layer walks ascending time
+    T, B, _ = gates_x.shape
+    H = sW.shape[1]
+    rng = np.random.default_rng(4)
+    dh = jnp.asarray(rng.normal(size=(T, B, H)).astype(np.float32))
+    c_prev_r = jnp.concatenate([c_r[1:], jnp.zeros((1, B, H))])
+    dpre_r = pallas_rnn.lstm_bwd(dh, pre_r, c_r, c_prev_r, sW, block_t=8,
+                                 interpret=True, reverse=True)
+    c_prev_f = jnp.concatenate([jnp.zeros((1, B, H)), c_f[:-1]])
+    dpre_f = pallas_rnn.lstm_bwd(flip(dh), pre_f, c_f, c_prev_f, sW,
+                                 block_t=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(dpre_r), np.asarray(flip(dpre_f)),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_gru_reverse_matches_flip():
+    gates_x, sW = setup(3)
+    h_r, gh_r = pallas_rnn.gru_fwd(gates_x, sW, block_t=8,
+                                   interpret=True, reverse=True)
+    flip = lambda a: jnp.flip(a, axis=0)
+    h_f, gh_f = pallas_rnn.gru_fwd(flip(gates_x), sW, block_t=8,
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(h_r), np.asarray(flip(h_f)),
+                               rtol=1e-6, atol=1e-7)
+    T, B, _ = gates_x.shape
+    H = sW.shape[1]
+    rng = np.random.default_rng(5)
+    dh = jnp.asarray(rng.normal(size=(T, B, H)).astype(np.float32))
+    h_prev_r = jnp.concatenate([h_r[1:], jnp.zeros((1, B, H))])
+    dgx_r, dgh_r = pallas_rnn.gru_bwd(dh, gates_x, gh_r, h_prev_r, sW,
+                                      block_t=8, interpret=True,
+                                      reverse=True)
+    h_prev_f = jnp.concatenate([jnp.zeros((1, B, H)), h_f[:-1]])
+    dgx_f, dgh_f = pallas_rnn.gru_bwd(flip(dh), flip(gates_x), gh_f,
+                                      h_prev_f, sW, block_t=8,
+                                      interpret=True)
+    np.testing.assert_allclose(np.asarray(dgx_r), np.asarray(flip(dgx_f)),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dgh_r), np.asarray(flip(dgh_f)),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_block_t_scales_down_with_batch():

@@ -45,7 +45,12 @@ def naive_gru(gates_x, sW):
     return h
 
 
-def check(fast_fn, naive_fn, k):
+def check(fast_fn, naive_fn, k, reverse=False):
+    if reverse:
+        inner_fast, inner_naive = fast_fn, naive_fn
+        fast_fn = lambda gx, s: inner_fast(gx, s, reverse=True)
+        naive_fn = lambda gx, s: jnp.flip(
+            inner_naive(jnp.flip(gx, axis=0), s), axis=0)
     rng = np.random.default_rng(0)
     T, B, H = 7, 3, 5
     gates_x = jnp.asarray(rng.normal(size=(T, B, k * H)).astype(np.float32))
@@ -77,3 +82,12 @@ def test_lstm_scan_matches_autodiff():
 
 def test_gru_scan_matches_autodiff():
     check(rnn.gru_scan, naive_gru, 3)
+
+
+def test_lstm_scan_reverse_matches_flipped_autodiff():
+    # reverse=True == flip -> natural scan -> flip, including gradients
+    check(rnn.lstm_scan, naive_lstm, 4, reverse=True)
+
+
+def test_gru_scan_reverse_matches_flipped_autodiff():
+    check(rnn.gru_scan, naive_gru, 3, reverse=True)
