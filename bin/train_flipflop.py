@@ -57,7 +57,15 @@ def main(args):
     if args.device == 'cpu':
         jax.config.update('jax_platforms', 'cpu')
     if args.multihost:
-        jax.distributed.initialize()
+        # Explicit rendezvous via env vars (for clusters JAX cannot
+        # auto-detect); bare initialize() on TPU pods/Slurm/OpenMPI.
+        init_kwargs = {}
+        if 'TAIYAKI_COORDINATOR' in os.environ:
+            init_kwargs = dict(
+                coordinator_address=os.environ['TAIYAKI_COORDINATOR'],
+                num_processes=int(os.environ['TAIYAKI_NUM_PROCS']),
+                process_id=int(os.environ['TAIYAKI_PROC_ID']))
+        jax.distributed.initialize(**init_kwargs)
     is_lead = jax.process_index() == 0
 
     if is_lead:
@@ -78,9 +86,21 @@ def main(args):
 
     seed = (np.random.randint(0, 2 ** 31) if args.seed is None
             else args.seed)
-    # Per-host offset so hosts draw different data (reference :268).
-    np.random.seed(seed + jax.process_index())
-    rng = np.random.default_rng(seed + jax.process_index())
+    if args.multihost:
+        # All hosts must agree on the base seed (it drives model init,
+        # validation holdout and the per-iteration chunk-length schedule).
+        from jax.experimental import multihost_utils
+        seed = int(multihost_utils.broadcast_one_to_all(
+            np.asarray(seed, np.int64)))
+    # Shared setup stream: every host computes identical params, mod
+    # weights, filter parameters and validation holdout.  The stream is
+    # re-seeded with a per-host offset just before training so hosts draw
+    # different chunks (reference seed + rank, train_flipflop.py:268).
+    np.random.seed(seed)
+    rng = np.random.default_rng(seed)
+    # Shared chunk-length schedule: all hosts must pick the SAME bucket
+    # each iteration or the global batch shapes disagree.
+    bucket_rng = np.random.default_rng(2 ** 32 + seed)
     logs.main.write('* Using random seed {}\n'.format(seed))
 
     # ---- data ---------------------------------------------------------------
@@ -174,13 +194,14 @@ def main(args):
                 args.gradient_clip_num_mads))
 
     # ---- mesh ---------------------------------------------------------------
-    ndev = jax.local_device_count()
+    ndev = jax.device_count()   # global: multihost jobs have 1+ chip/host
     mesh = None
     if ndev > 1:
         mesh = jax.sharding.Mesh(
             np.array(jax.devices()).reshape(-1), ('data',))
-        logs.main.write('* Data-parallel over {} devices.\n'.format(
-            jax.device_count()))
+        logs.main.write(
+            '* Data-parallel over {} devices on {} hosts.\n'.format(
+                jax.device_count(), jax.process_count()))
     step_fn = train.jit_train_step(
         train.make_train_step(net, optimizer, is_cat_mod, can_mods_offsets,
                               mod_cat_weights), mesh)
@@ -266,33 +287,39 @@ def main(args):
         keeps the np.random stream sequential, so --seed stays
         reproducible.
         """
-        batch_chunk_len = buckets[np.random.randint(len(buckets))]
+        batch_chunk_len = buckets[bucket_rng.integers(len(buckets))]
         sub_batch_size = train.sub_batch_size_for_chunk(
             args.min_sub_batch_size, args.chunk_len_max, batch_chunk_len)
+        nproc = jax.process_count()
         if mesh is not None:
             # round to multiple of device count for even sharding
             per = max(1, sub_batch_size // jax.device_count())
             sub_batch_size = per * jax.device_count()
+        # each host samples only its share of the global batch
+        local_batch_size = sub_batch_size // nproc
         max_seqlen = train.max_seqlen_for_chunk(
             batch_chunk_len, stride, args.filter_path_buffer)
         batches = []
         rejections_total = defaultdict(int)
         for _ in range(args.sub_batches):
             batch, rejections = train.sample_batch(
-                read_data, batch_chunk_len, sub_batch_size, max_seqlen,
+                read_data, batch_chunk_len, local_batch_size, max_seqlen,
                 alphabet_info, filter_params, reverse=args.reverse,
                 standardize=args.standardize, can_labels=can_labels,
                 mod_labels=mod_labels, log=logs.main)
             for k, v in rejections.items():
                 rejections_total[k] += v
-            if batch.signal.shape[1] < sub_batch_size:
+            if batch.signal.shape[1] < local_batch_size:
                 # pad batch to static size with repeats for shape stability
-                batch = _pad_batch(batch, sub_batch_size)
+                batch = _pad_batch(batch, local_batch_size)
             if mesh is not None:
                 batch = train.shard_batch(batch, mesh)
             batches.append(batch)
         return batch_chunk_len, batches, rejections_total
 
+    # From here on the global stream draws training chunks: offset it per
+    # host so hosts sample different data (reference :268).
+    np.random.seed(seed + jax.process_index())
     prefetch = ThreadPoolExecutor(max_workers=1)
     next_batches = prefetch.submit(sample_iteration)
     time_last = time.time()

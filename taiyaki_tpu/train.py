@@ -271,13 +271,28 @@ def jit_train_step(step, mesh=None):
 
 
 def shard_batch(batch, mesh):
-    """Place host batch arrays onto the mesh with the training sharding."""
+    """Place host batch arrays onto the mesh with the training sharding.
+
+    Single-process: a plain device_put of the full batch.  Multi-host:
+    each process passes its LOCAL share of the global batch (global batch
+    axis = local axis * process_count) and the shards are assembled into
+    one global array — the TPU equivalent of DDP's per-rank data streams
+    (SURVEY.md §2.2; reference bin/train_flipflop.py:266-268).
+    """
     from jax.sharding import NamedSharding, PartitionSpec as P
+    nproc = jax.process_count()
 
     def put(x, spec):
         if x is None:
             return None
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if nproc == 1:
+            return jax.device_put(x, sharding)
+        global_shape = tuple(
+            dim * nproc if axis < len(spec) and spec[axis] == "data"
+            else dim for axis, dim in enumerate(x.shape))
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(x), global_shape)
 
     return Batch(put(batch.signal, P(None, "data", None)),
                  put(batch.seqs, P("data", None)),
