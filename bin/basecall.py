@@ -158,23 +158,36 @@ class Basecaller:
                                   trans.dtype)
             return trans, paths, mods, errprobs
 
+        # params uploaded once; passing host numpy would re-transfer the
+        # whole pytree on every call
+        self.params = jax.device_put(params)
         self._fn = jax.jit(call_chunks)
 
-    def __call__(self, chunks):
-        """chunks [T, nchunk, 1] -> (trans [nblk, nchunk, S] (or 0 cols
-        when not wanted), paths [nblk+1, nchunk],
-        mods [nblk, nchunk, nmodcol], errprobs [nblk+1, nchunk] (or 0
-        rows)), padding the batch to max_batch so the program compiles
-        once."""
+    def submit(self, chunks):
+        """Dispatch chunks [T, nchunk, 1] to the device WITHOUT waiting:
+        returns a list of (valid_cols, device_results) per max_batch part.
+        JAX dispatch is asynchronous, so the device starts working while
+        the host goes on to finalize earlier batches (flush pipelining).
+        """
         n = chunks.shape[1]
-        out_trans, out_paths, out_mods, out_errp = [], [], [], []
+        handles = []
         for i in range(0, n, self.max_batch):
             part = chunks[:, i:i + self.max_batch]
             k = part.shape[1]
             if k < self.max_batch:
                 pad = np.repeat(part[:, -1:], self.max_batch - k, axis=1)
                 part = np.concatenate([part, pad], axis=1)
-            trans, paths, mods, errp = self._fn(self.params, part)
+            handles.append((k, self._fn(self.params, part)))
+        return handles
+
+    @staticmethod
+    def gather(handles):
+        """Fetch submitted results -> (trans [nblk, nchunk, S] (or 0 cols
+        when not wanted), paths [nblk+1, nchunk],
+        mods [nblk, nchunk, nmodcol], errprobs [nblk+1, nchunk] (or 0
+        rows))."""
+        out_trans, out_paths, out_mods, out_errp = [], [], [], []
+        for k, (trans, paths, mods, errp) in handles:
             out_trans.append(np.asarray(trans[:, :k]))
             out_paths.append(np.asarray(paths[:, :k]))
             out_mods.append(np.asarray(mods[:, :k]))
@@ -183,6 +196,9 @@ class Basecaller:
                 np.concatenate(out_paths, axis=1),
                 np.concatenate(out_mods, axis=1),
                 np.concatenate(out_errp, axis=1))
+
+    def __call__(self, chunks):
+        return self.gather(self.submit(chunks))
 
 
 def prepare_read(read_id, signal, chunk_size, overlap, read_params,
@@ -363,16 +379,17 @@ def main():
         # device batches instead of each padding one out alone.
         pending = []
         pend_chunks = 0
+        # One batch in flight: flush() dispatches the current pool to the
+        # device (async) and then finalizes the PREVIOUS batch on the host
+        # (Viterbi stitch / beam search / fastq writing), so host post-
+        # processing of batch i-1 overlaps device compute of batch i.
+        inflight = None
 
-        def flush():
-            nonlocal nbase, ncalled, nsample, pend_chunks
-            if not pending:
-                return
-            all_chunks = np.concatenate([p["chunks"] for p in pending],
-                                        axis=1)
-            trans, paths, mods, errprobs = caller(all_chunks)
+        def finalize_batch(batch_reads, handles):
+            nonlocal nbase, ncalled, nsample
+            trans, paths, mods, errprobs = caller.gather(handles)
             off = 0
-            for p in pending:
+            for p in batch_reads:
                 k = p["chunks"].shape[1]
                 basecall, qstring, mod_scores = finalize_read(
                     p, trans[:, off:off + k], paths[:, off:off + k],
@@ -396,8 +413,19 @@ def main():
                             qstring[::-1] if args.reverse else qstring))
                 nsample += p["nsample"]
                 progress.step()
-            pending.clear()
-            pend_chunks = 0
+
+        def flush():
+            nonlocal inflight, pend_chunks
+            batch = None
+            if pending:
+                all_chunks = np.concatenate(
+                    [p["chunks"] for p in pending], axis=1)
+                batch = (list(pending), caller.submit(all_chunks))
+                pending.clear()
+                pend_chunks = 0
+            if inflight is not None:
+                finalize_batch(*inflight)
+            inflight = batch
 
         for read_filename, read_id, signal in fetched:
             nread += 1
@@ -410,7 +438,8 @@ def main():
             pend_chunks += prep["chunks"].shape[1]
             if pend_chunks >= args.max_concurrent_chunks:
                 flush()
-        flush()
+        flush()   # dispatch the tail pool, finalize the previous batch
+        flush()   # finalize the tail batch
     total_time = time.time() - t0
     sys.stderr.write("* Called {} reads in {:.2f}s\n".format(
         nread, total_time))

@@ -164,7 +164,7 @@ def _lstm_bwd_kernel(dh_ref, pre_ref, c_ref, cprev_ref, sw_ref, dpre_ref,
         dpre = jnp.concatenate(
             [di * i * (1.0 - i), df * f * (1.0 - f),
              dg * (1.0 - g * g), do * o * (1.0 - o)], axis=1)
-        dpre_ref[k] = dpre
+        dpre_ref[k] = dpre.astype(dpre_ref.dtype)
         dh_carry[:] = jnp.dot(dpre, sw_ref[:],
                               preferred_element_type=jnp.float32)
         dc_carry[:] = dc * f
@@ -174,12 +174,14 @@ def _lstm_bwd_kernel(dh_ref, pre_ref, c_ref, cprev_ref, sw_ref, dpre_ref,
 
 
 def lstm_bwd(dh_out, pre, c, c_prev, sW, block_t=DEFAULT_BLOCK_T,
-             interpret=False, reverse=False):
+             interpret=False, reverse=False, grad_dtype=None):
     """Fused LSTM backward: per-step gate gradients dpre [T,B,4H].
 
     `reverse` is the FORWARD direction of the layer; the gradient chain
     walks opposite to it (descending time for natural layers, ascending
-    for Reverse'd ones).
+    for Reverse'd ones).  `grad_dtype` is the storage dtype of the dpre
+    stream (bfloat16 halves its HBM traffic; the recurrent dh/dc chain
+    stays float32 in VMEM).
     """
     T, B, H = dh_out.shape
     H4 = 4 * H
@@ -202,7 +204,8 @@ def lstm_bwd(dh_out, pre, c, c_prev, sW, block_t=DEFAULT_BLOCK_T,
         ],
         out_specs=pl.BlockSpec((block_t, B, H4), imap,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, B, H4), dh_out.dtype),
+        out_shape=jax.ShapeDtypeStruct((T, B, H4),
+                                       grad_dtype or dh_out.dtype),
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, H), jnp.float32),
@@ -293,8 +296,8 @@ def _gru_bwd_kernel(dh_ref, gx_ref, gh_ref, hprev_ref, sw_ref,
         dz_pre = dz * z * (1.0 - z)
         dgh = jnp.concatenate([dr_pre, dz_pre, dn_pre * r], axis=1)
         dgx = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
-        dgx_ref[k] = dgx
-        dgh_ref[k] = dgh
+        dgx_ref[k] = dgx.astype(dgx_ref.dtype)
+        dgh_ref[k] = dgh.astype(dgh_ref.dtype)
         dh_carry[:] = (jnp.dot(dgh, sw_ref[:],
                                preferred_element_type=jnp.float32)
                        + dh * z)
@@ -304,11 +307,12 @@ def _gru_bwd_kernel(dh_ref, gx_ref, gh_ref, hprev_ref, sw_ref,
 
 
 def gru_bwd(dh_out, gates_x, gh, h_prev, sW, block_t=DEFAULT_BLOCK_T,
-            interpret=False, reverse=False):
+            interpret=False, reverse=False, grad_dtype=None):
     """Fused GRU backward -> (dgx [T,B,3H], dgh [T,B,3H]).
 
     `reverse` is the FORWARD direction of the layer; the gradient chain
-    walks opposite to it.
+    walks opposite to it.  `grad_dtype` stores the two gradient streams
+    (bfloat16 halves their HBM traffic; the dh chain stays float32).
     """
     T, B, H = dh_out.shape
     H3 = 3 * H
@@ -334,8 +338,8 @@ def gru_bwd(dh_out, gates_x, gh, h_prev, sW, block_t=DEFAULT_BLOCK_T,
             pl.BlockSpec((block_t, B, H3), imap, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, H3), dh_out.dtype),
-            jax.ShapeDtypeStruct((T, B, H3), dh_out.dtype),
+            jax.ShapeDtypeStruct((T, B, H3), grad_dtype or dh_out.dtype),
+            jax.ShapeDtypeStruct((T, B, H3), grad_dtype or dh_out.dtype),
         ],
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
         interpret=interpret,

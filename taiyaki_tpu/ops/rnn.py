@@ -48,6 +48,17 @@ def _use_pallas():
         return False
 
 
+def _grad_stream_dtype():
+    """Storage dtype for the backward gradient streams (dh in, dpre/dgx/
+    dgh out) of the Pallas kernels.  bfloat16 halves their HBM traffic —
+    the kernels are stream-bound, arithmetic stays f32, and the weight
+    gradients accumulate in f32.  TAIYAKI_TPU_F32_GRADS=1 restores f32.
+    """
+    if os.environ.get("TAIYAKI_TPU_F32_GRADS") == "1":
+        return None
+    return jnp.bfloat16
+
+
 def _pad_time(x, multiple):
     """Zero-pad the leading (time) axis up to a multiple."""
     T = x.shape[0]
@@ -120,13 +131,17 @@ def _make_lstm_scan(reverse):
         if _use_pallas():
             from taiyaki_tpu.ops import pallas_rnn
             bt = pallas_rnn.block_t_for(B)
+            gdt = _grad_stream_dtype()
             dpre = pallas_rnn.lstm_bwd(
-                _pad_time(dh_out, bt), _pad_time(pre, bt),
+                _pad_time(dh_out.astype(gdt or dh_out.dtype), bt),
+                _pad_time(pre, bt),
                 _pad_time(c, bt), _pad_time(c_prev, bt), sW,
-                block_t=bt, reverse=reverse)[:T]
+                block_t=bt, reverse=reverse, grad_dtype=gdt)[:T]
             d_sW = jnp.einsum("tbg,tbh->gh", dpre, h_prev,
                               preferred_element_type=jnp.float32)
-            return dpre, d_sW
+            # cotangent dtype must match the primal; XLA fuses the
+            # upcast into the consuming GEMMs (no f32 copy in HBM)
+            return dpre.astype(dh_out.dtype), d_sW
 
         def step(carry, xs):
             dh_next, dc_next = carry
@@ -226,15 +241,17 @@ def _make_gru_scan(reverse):
             h, gates_x, gh, sW = res
             T, B, H = h.shape
             bt = pallas_rnn.block_t_for(B)
+            gdt = _grad_stream_dtype()
             h_prev = _prev_state(h, reverse)
             dgx, dgh = pallas_rnn.gru_bwd(
-                _pad_time(dh_out, bt), _pad_time(gates_x, bt),
+                _pad_time(dh_out.astype(gdt or dh_out.dtype), bt),
+                _pad_time(gates_x, bt),
                 _pad_time(gh, bt), _pad_time(h_prev, bt), sW,
-                block_t=bt, reverse=reverse)
+                block_t=bt, reverse=reverse, grad_dtype=gdt)
             dgx, dgh = dgx[:T], dgh[:T]
             d_sW = jnp.einsum("tbg,tbh->gh", dgh, h_prev,
                               preferred_element_type=jnp.float32)
-            return dgx, d_sW
+            return dgx.astype(dh_out.dtype), d_sW
         h, r, z, n, ghn, sW = res
         T, B, H = h.shape
         h_prev = _prev_state(h, reverse)

@@ -144,6 +144,25 @@ def test_block_t_scales_down_with_batch():
         assert pallas_crf.fwd_block_t(b) % pallas_crf.bwd_block_t(b) == 0
 
 
+def test_lstm_bf16_grad_stream_close():
+    # bf16 storage of the dpre gradient stream must stay close to f32
+    gates_x, sW = setup(4)
+    T, B, _ = gates_x.shape
+    H = sW.shape[1]
+    h, c, pre = pallas_rnn.lstm_fwd(gates_x, sW, block_t=8, interpret=True)
+    rng = np.random.default_rng(6)
+    dh = jnp.asarray(rng.normal(size=(T, B, H)).astype(np.float32))
+    c_prev = jnp.concatenate([jnp.zeros((1, B, H)), c[:-1]])
+    d32 = pallas_rnn.lstm_bwd(dh, pre, c, c_prev, sW, block_t=8,
+                              interpret=True)
+    d16 = pallas_rnn.lstm_bwd(dh.astype(jnp.bfloat16), pre, c, c_prev, sW,
+                              block_t=8, interpret=True,
+                              grad_dtype=jnp.bfloat16)
+    assert d16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(d16, np.float32),
+                               np.asarray(d32), rtol=0.1, atol=0.02)
+
+
 def test_lstm_bf16_residuals_close():
     # bf16 residual storage (c, pre) must keep gradients close to f32
     gates_x, sW = setup(4)
