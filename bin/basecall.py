@@ -298,6 +298,10 @@ def finalize_read(prep, trans, paths, mods, errprobs, chunk_size, stride,
 
 def main():
     args = get_parser().parse_args()
+    # Inference keeps f32 input-gate streams: the bf16 default is a
+    # training-throughput trade (taiyaki_tpu/ops/rnn.py) and basecalls
+    # should not pay accuracy for it.  Exported env wins if set.
+    os.environ.setdefault("TAIYAKI_TPU_F32_GATES", "1")
     import jax
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
@@ -388,17 +392,27 @@ def main():
         def finalize_batch(batch_reads, handles):
             nonlocal nbase, ncalled, nsample
             trans, paths, mods, errprobs = caller.gather(handles)
-            off = 0
-            for p in batch_reads:
+
+            def finalize_one(p, off):
                 k = p["chunks"].shape[1]
-                basecall, qstring, mod_scores = finalize_read(
+                return finalize_read(
                     p, trans[:, off:off + k], paths[:, off:off + k],
                     mods[:, off:off + k], errprobs[:, off:off + k],
                     chunk_size, stride,
                     args.alphabet, args.fastq, args.qscore_scale,
                     args.qscore_offset, args.beam,
                     want_mods=caller.want_mods, can_nmods=can_nmods)
-                off += k
+
+            # Per-read post-processing in threads: the beam search is a
+            # GIL-releasing C call and the stitching is numpy, so reads
+            # decode in parallel; writes stay in order below.
+            offs, off = [], 0
+            for p in batch_reads:
+                offs.append(off)
+                off += p["chunks"].shape[1]
+            results = list(pool.map(finalize_one, batch_reads, offs))
+            for p, (basecall, qstring, mod_scores) in zip(batch_reads,
+                                                          results):
                 if mod_writer is not None and mod_scores is not None:
                     mod_writer["Reads"].create_dataset(
                         p["read_id"], data=mod_scores.astype(np.float32))

@@ -52,6 +52,9 @@ def get_parser():
 
 def main():
     args = get_parser().parse_args()
+    # Remapping quality should not pay for the bf16 training-throughput
+    # trade (taiyaki_tpu/ops/rnn.py); exported env wins if set.
+    os.environ.setdefault("TAIYAKI_TPU_F32_GATES", "1")
     print("Running prepare_mapping using flip-flop remapping")
 
     if not args.overwrite and os.path.exists(args.output):

@@ -634,9 +634,11 @@ class Lstm(Layer):
         return params
 
     def apply(self, params, x, reverse=False):
-        from taiyaki_tpu.ops.rnn import lstm_scan
-        gates_x = x @ params["iW"].T + params["b"]     # [T, B, 4H], one GEMM
-        return lstm_scan(gates_x, params["sW"], reverse=reverse)
+        # whole layer incl. the gate GEMM: on TPU the gates are computed
+        # inside the Pallas kernel (no [T,B,4H] HBM round trip)
+        from taiyaki_tpu.ops.rnn import lstm_layer
+        return lstm_layer(x, params["iW"], params["b"], params["sW"],
+                          reverse=reverse)
 
     def json(self, params):
         res = OrderedDict([("type", "LSTM"),
@@ -688,9 +690,9 @@ class GruMod(Layer):
         return params
 
     def apply(self, params, x, reverse=False):
-        from taiyaki_tpu.ops.rnn import gru_scan
-        gates_x = x @ params["iW"].T + params["b"]     # [T, B, 3H], one GEMM
-        return gru_scan(gates_x, params["sW"], reverse=reverse)
+        from taiyaki_tpu.ops.rnn import gru_layer
+        return gru_layer(x, params["iW"], params["b"], params["sW"],
+                         reverse=reverse)
 
     def json(self, params):
         res = OrderedDict([("type", "GruMod"),

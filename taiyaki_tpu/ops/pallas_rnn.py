@@ -128,7 +128,9 @@ def lstm_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
             pl.BlockSpec((block_t, B, H4), imap, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, H), gates_x.dtype),
+            # h stays f32 regardless of the gx stream dtype: it feeds the
+            # next layer's GEMM and the weight-gradient einsum
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
             jax.ShapeDtypeStruct((T, B, H), res_dt),
             jax.ShapeDtypeStruct((T, B, H4), res_dt),
         ],
@@ -214,6 +216,202 @@ def lstm_bwd(dh_out, pre, c, c_prev, sW, block_t=DEFAULT_BLOCK_T,
     )(dh_out, pre, c, c_prev, sW)
 
 
+# -- Fused-gates forwards ------------------------------------------------------
+#
+# The input-gate GEMM (gx = x @ iW.T + b) used to run as a separate XLA
+# GEMM whose [T, B, kH] result made a full HBM round trip into the time
+# kernel.  These variants compute the gates INSIDE the kernel, one
+# [block_t*B, D] x [D, kH] matmul per grid step (a much better MXU shape
+# than the per-step [B, H] recurrent product), so the only forward input
+# stream is x itself.  Zero-padded tail rows are masked to keep the gate
+# bias from perturbing the carry (matters for reverse=True, which walks
+# the padding first).
+
+
+def _fused_gates(x_ref, iwt_ref, b_ref, gx_scratch, block_t):
+    """One per-block gate GEMM into VMEM scratch [block_t, B, kH]."""
+    bt, B, D = x_ref.shape
+    xb = x_ref[:].reshape(bt * B, D)
+    gx = jnp.dot(xb, iwt_ref[:], preferred_element_type=jnp.float32)
+    gx_scratch[:] = (gx + b_ref[:]).reshape(bt, B, gx.shape[-1])
+
+
+def _block_base(ngrid, block_t, descending):
+    """Global time index of this grid step's first in-block row (as a
+    traced value; program_id must be read at kernel top level for
+    interpret mode)."""
+    pid = pl.program_id(0)
+    block = (ngrid - 1 - pid) if descending else pid
+    return block * block_t
+
+
+def _lstm_fused_fwd_kernel(x_ref, iwt_ref, b_ref, swt_ref,
+                           h_ref, c_ref, pre_ref,
+                           h_carry, c_carry, gx_scratch,
+                           *, block_t, H, T, ngrid, descending, order):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        h_carry[:] = jnp.zeros_like(h_carry)
+        c_carry[:] = jnp.zeros_like(c_carry)
+
+    _fused_gates(x_ref, iwt_ref, b_ref, gx_scratch, block_t)
+    base = _block_base(ngrid, block_t, descending)
+
+    def body(j, _):
+        k = order(j)
+        h = h_carry[:]
+        c = c_carry[:]
+        gx = jnp.where(base + k < T, gx_scratch[k], 0.0)
+        pre = gx + jnp.dot(h, swt_ref[:],
+                           preferred_element_type=jnp.float32)
+        i = jax.nn.sigmoid(pre[:, :H])
+        f = jax.nn.sigmoid(pre[:, H:2 * H])
+        g = jnp.tanh(pre[:, 2 * H:3 * H])
+        o = jax.nn.sigmoid(pre[:, 3 * H:])
+        c2 = f * c + i * g
+        h2 = o * jnp.tanh(c2)
+        h_ref[k] = h2
+        c_ref[k] = c2.astype(c_ref.dtype)
+        pre_ref[k] = pre.astype(pre_ref.dtype)
+        h_carry[:] = h2
+        c_carry[:] = c2
+        return 0
+
+    jax.lax.fori_loop(0, block_t, body, 0)
+
+
+def lstm_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
+                   residual_dtype=None, reverse=False, true_len=None):
+    """Fused gates+time LSTM forward.
+
+    Args:
+        x: [T, B, D] layer input, T a multiple of block_t (callers pad
+            with zeros; padded rows are masked so any traversal direction
+            leaves the carry untouched).
+        iW: [4H, D] input weights; b: [4H] bias (torch gate order).
+        sW: [4H, H] recurrent weights.
+
+    Returns:
+        (h [T,B,H] f32, c, pre in residual_dtype); the true (unpadded)
+        time length must be sliced by the caller.
+    """
+    Tp, B, D = x.shape
+    H4 = sW.shape[0]
+    H = H4 // 4
+    res_dt = residual_dtype or x.dtype
+    assert Tp % block_t == 0, (Tp, block_t)
+    ngrid = Tp // block_t
+    imap, order = _time_maps(ngrid, block_t, descending=reverse)
+    kernel = functools.partial(
+        _lstm_fused_fwd_kernel, block_t=block_t, H=H,
+        T=(Tp if true_len is None else true_len), ngrid=ngrid,
+        descending=reverse, order=order)
+    return pl.pallas_call(
+        kernel,
+        grid=(ngrid,),
+        in_specs=[
+            pl.BlockSpec((block_t, B, D), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, H4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_t, B, H), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, H), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, H4), imap, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, B, H), res_dt),
+            jax.ShapeDtypeStruct((Tp, B, H4), res_dt),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((block_t, B, H4), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, iW.T, b.reshape(1, H4), sW.T)
+
+
+def _gru_fused_fwd_kernel(x_ref, iwt_ref, b_ref, swt_ref,
+                          h_ref, gh_ref, gx_ref, h_carry, gx_scratch,
+                          *, block_t, H, T, ngrid, descending, order):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        h_carry[:] = jnp.zeros_like(h_carry)
+
+    _fused_gates(x_ref, iwt_ref, b_ref, gx_scratch, block_t)
+    base = _block_base(ngrid, block_t, descending)
+
+    def body(j, _):
+        k = order(j)
+        h = h_carry[:]
+        gx = jnp.where(base + k < T, gx_scratch[k], 0.0)
+        gh = jnp.dot(h, swt_ref[:], preferred_element_type=jnp.float32)
+        r = jax.nn.sigmoid(gx[:, :H] + gh[:, :H])
+        z = jax.nn.sigmoid(gx[:, H:2 * H] + gh[:, H:2 * H])
+        n = jnp.tanh(gx[:, 2 * H:] + r * gh[:, 2 * H:])
+        h2 = (1.0 - z) * n + z * h
+        h_ref[k] = h2
+        gh_ref[k] = gh.astype(gh_ref.dtype)
+        gx_ref[k] = gx.astype(gx_ref.dtype)
+        h_carry[:] = h2
+        return 0
+
+    jax.lax.fori_loop(0, block_t, body, 0)
+
+
+def gru_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
+                  residual_dtype=None, reverse=False, true_len=None):
+    """Fused gates+time GRU forward -> (h [T,B,H] f32, gh, gx in
+    residual_dtype).  The gate stream gx is emitted because the GRU
+    backward re-reads it (unlike the LSTM, whose pre already folds it
+    in).  See lstm_fused_fwd for conventions."""
+    Tp, B, D = x.shape
+    H3 = sW.shape[0]
+    H = H3 // 3
+    res_dt = residual_dtype or x.dtype
+    assert Tp % block_t == 0
+    ngrid = Tp // block_t
+    imap, order = _time_maps(ngrid, block_t, descending=reverse)
+    kernel = functools.partial(
+        _gru_fused_fwd_kernel, block_t=block_t, H=H,
+        T=(Tp if true_len is None else true_len), ngrid=ngrid,
+        descending=reverse, order=order)
+    return pl.pallas_call(
+        kernel,
+        grid=(ngrid,),
+        in_specs=[
+            pl.BlockSpec((block_t, B, D), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, H3), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H3), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H3), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_t, B, H), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, H3), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, B, H3), imap, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, B, H3), res_dt),
+            jax.ShapeDtypeStruct((Tp, B, H3), res_dt),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((block_t, B, H3), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, iW.T, b.reshape(1, H3), sW.T)
+
+
 # -- GRU ---------------------------------------------------------------------
 
 def _gru_fwd_kernel(gx_ref, swt_ref, h_ref, gh_ref, h_carry,
@@ -265,7 +463,7 @@ def gru_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
             pl.BlockSpec((block_t, B, H3), imap, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, H), gates_x.dtype),
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
             jax.ShapeDtypeStruct((T, B, H3), res_dt),
         ],
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],

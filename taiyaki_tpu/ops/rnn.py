@@ -10,16 +10,32 @@ runs ~100x slower than the forward scan.  These custom-VJP scans instead:
   [T*B, kH]^T x [T*B, H] GEMM over the stacked per-step gate gradients —
   exactly the shape the MXU wants.
 
-Both scans take `reverse=True` to run the recurrence backwards in time
-with inputs and outputs in NATURAL time order.  The reference implements
-its `Reverse` combinator by flipping the data before and after the inner
-layer (taiyaki/layers.py:117-154); flipping a [T,B,H] stream costs two
-full HBM passes per flip (four per layer counting the VJP), so here the
-kernels walk time in the requested direction instead and no flip is ever
-materialized.
+Two API levels:
+
+* `lstm_scan(gates_x, sW, reverse)` / `gru_scan(...)` — recurrence over
+  precomputed input gates (the classic formulation; CPU fallback path).
+* `lstm_layer(x, iW, b, sW, reverse)` / `gru_layer(...)` — whole layer
+  including the input-gate GEMM.  On TPU the gates are computed INSIDE
+  the Pallas kernel (one [block_t*B, D] matmul per grid block), so the
+  [T, B, kH] gate tensor never round-trips through HBM.  layers.py
+  dispatches here.
+
+`reverse=True` runs the recurrence backwards in time with inputs and
+outputs in NATURAL time order.  The reference implements its `Reverse`
+combinator by flipping the data around the inner layer
+(taiyaki/layers.py:117-154); here the kernels walk time in the requested
+direction instead and no flipped copy is ever materialized.
+
+Mixed-precision streams (TPU only; arithmetic is always f32):
+* backward residuals (LSTM c/pre, GRU gh) are stored bfloat16;
+* gradient streams (dh in, dpre/dgx/dgh out) are bfloat16 unless
+  TAIYAKI_TPU_F32_GRADS=1;
+* input-gate streams are bfloat16 unless TAIYAKI_TPU_F32_GATES=1
+  (bin/basecall.py and bin/prepare_mapped_reads.py set it — inference
+  does not pay accuracy for a training-throughput trade).
 
 Semantics match taiyaki_tpu.layers.Lstm / GruMod (torch cell equations
-with the redundant hidden bias pinned to zero); layers.py dispatches here.
+with the redundant hidden bias pinned to zero).
 
 Measured on TPU v5e (T=800, B=64, H=256): fwd+bwd 82ms -> ~4ms per layer.
 """
@@ -46,6 +62,18 @@ def _use_pallas():
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+def _gate_stream_dtype():
+    """Storage dtype for the input-gate stream gx fed to the forward
+    kernels (and kept as the GRU backward residual).  bfloat16 halves the
+    largest forward HBM stream; the cast fuses into the producing GEMM's
+    epilogue.  Arithmetic stays f32.  TAIYAKI_TPU_F32_GATES=1 restores
+    f32 (inference CLIs set it so basecalls keep full precision).
+    """
+    if os.environ.get("TAIYAKI_TPU_F32_GATES") == "1":
+        return None
+    return jnp.bfloat16
 
 
 def _grad_stream_dtype():
@@ -101,78 +129,93 @@ def _lstm_fwd_core(gates_x, sW, reverse=False):
     return h, (h, c, pre, sW)
 
 
+def _lstm_fwd_pallas(gates_x, sW, reverse):
+    from taiyaki_tpu.ops import pallas_rnn
+    T = gates_x.shape[0]
+    bt = pallas_rnn.block_t_for(gates_x.shape[1])
+    gxdt = _gate_stream_dtype()
+    gx = _pad_time(gates_x.astype(gxdt or gates_x.dtype), bt)
+    # residuals stream in bf16 (arithmetic and h stay f32): halves
+    # their HBM traffic; gates are recomputed from bf16 pre in bwd
+    h, c, pre = pallas_rnn.lstm_fwd(gx, sW, block_t=bt,
+                                    residual_dtype=jnp.bfloat16,
+                                    reverse=reverse)
+    return h[:T], c[:T], pre[:T]
+
+
+def _lstm_dpre(h, c, pre, sW, dh_out, reverse):
+    """Backward gradient chain -> per-step gate gradients dpre [T,B,4H]
+    (equal to d gates_x).  Pallas kernel on TPU, scan elsewhere."""
+    T, B, H = h.shape
+    c_prev = _prev_state(c, reverse)
+    if _use_pallas():
+        from taiyaki_tpu.ops import pallas_rnn
+        bt = pallas_rnn.block_t_for(B)
+        gdt = _grad_stream_dtype()
+        return pallas_rnn.lstm_bwd(
+            _pad_time(dh_out.astype(gdt or dh_out.dtype), bt),
+            _pad_time(pre, bt),
+            _pad_time(c, bt), _pad_time(c_prev, bt), sW,
+            block_t=bt, reverse=reverse, grad_dtype=gdt)[:T]
+
+    def step(carry, xs):
+        dh_next, dc_next = carry
+        dh_t, pre_t, c_t, c_prev_t = xs
+        i = jax.nn.sigmoid(pre_t[:, :H])
+        f = jax.nn.sigmoid(pre_t[:, H:2 * H])
+        g = jnp.tanh(pre_t[:, 2 * H:3 * H])
+        o = jax.nn.sigmoid(pre_t[:, 3 * H:])
+        tc = jnp.tanh(c_t)
+        dh = dh_t + dh_next
+        do = dh * tc
+        dc = dh * o * (1.0 - tc * tc) + dc_next
+        di = dc * g
+        df = dc * c_prev_t
+        dg = dc * i
+        dpre = jnp.concatenate(
+            [di * i * (1.0 - i), df * f * (1.0 - f),
+             dg * (1.0 - g * g), do * o * (1.0 - o)], axis=1)
+        dh_prev = dpre @ sW
+        dc_prev = dc * f
+        return (dh_prev, dc_prev), dpre
+
+    zero = jnp.zeros((B, H), h.dtype)
+    # the gradient chain walks opposite to the forward direction
+    _, dpre_all = jax.lax.scan(step, (zero, zero),
+                               (dh_out, pre, c, c_prev),
+                               reverse=not reverse, unroll=_UNROLL)
+    return dpre_all
+
+
 def _make_lstm_scan(reverse):
     @jax.custom_vjp
     def scan_fn(gates_x, sW):
+        # NOTE: custom_vjp evaluates THIS function outside differentiation
+        # (inference); f_fwd below only runs under grad.  Dispatch to the
+        # Pallas kernel here too so basecalling gets the fused time loop.
+        if _use_pallas():
+            h, _, _ = _lstm_fwd_pallas(gates_x, sW, reverse)
+            return h
         h, _ = _lstm_fwd_core(gates_x, sW, reverse)
         return h
 
     def fwd(gates_x, sW):
+        # NOTE: _use_pallas() is a trace-time constant, so fwd and bwd
+        # agree on the residual structure.
         if _use_pallas():
-            from taiyaki_tpu.ops import pallas_rnn
-            T = gates_x.shape[0]
-            bt = pallas_rnn.block_t_for(gates_x.shape[1])
-            gx = _pad_time(gates_x, bt)
-            # residuals stream in bf16 (arithmetic and h stay f32): halves
-            # their HBM traffic; gates are recomputed from bf16 pre in bwd
-            h, c, pre = pallas_rnn.lstm_fwd(gx, sW, block_t=bt,
-                                            residual_dtype=jnp.bfloat16,
-                                            reverse=reverse)
-            return h[:T], (h[:T], c[:T], pre[:T], sW)
+            h, c, pre = _lstm_fwd_pallas(gates_x, sW, reverse)
+            return h, (h, c, pre, sW)
         return _lstm_fwd_core(gates_x, sW, reverse)
 
     def bwd(res, dh_out):
-        # NOTE: _use_pallas() is a trace-time constant, so fwd and bwd
-        # agree on the residual structure.
         h, c, pre, sW = res
-        T, B, H = h.shape
-        h_prev = _prev_state(h, reverse)
-        c_prev = _prev_state(c, reverse)
-        if _use_pallas():
-            from taiyaki_tpu.ops import pallas_rnn
-            bt = pallas_rnn.block_t_for(B)
-            gdt = _grad_stream_dtype()
-            dpre = pallas_rnn.lstm_bwd(
-                _pad_time(dh_out.astype(gdt or dh_out.dtype), bt),
-                _pad_time(pre, bt),
-                _pad_time(c, bt), _pad_time(c_prev, bt), sW,
-                block_t=bt, reverse=reverse, grad_dtype=gdt)[:T]
-            d_sW = jnp.einsum("tbg,tbh->gh", dpre, h_prev,
-                              preferred_element_type=jnp.float32)
-            # cotangent dtype must match the primal; XLA fuses the
-            # upcast into the consuming GEMMs (no f32 copy in HBM)
-            return dpre.astype(dh_out.dtype), d_sW
-
-        def step(carry, xs):
-            dh_next, dc_next = carry
-            dh_t, pre_t, c_t, c_prev_t = xs
-            i = jax.nn.sigmoid(pre_t[:, :H])
-            f = jax.nn.sigmoid(pre_t[:, H:2 * H])
-            g = jnp.tanh(pre_t[:, 2 * H:3 * H])
-            o = jax.nn.sigmoid(pre_t[:, 3 * H:])
-            tc = jnp.tanh(c_t)
-            dh = dh_t + dh_next
-            do = dh * tc
-            dc = dh * o * (1.0 - tc * tc) + dc_next
-            di = dc * g
-            df = dc * c_prev_t
-            dg = dc * i
-            dpre = jnp.concatenate(
-                [di * i * (1.0 - i), df * f * (1.0 - f),
-                 dg * (1.0 - g * g), do * o * (1.0 - o)], axis=1)
-            dh_prev = dpre @ sW
-            dc_prev = dc * f
-            return (dh_prev, dc_prev), dpre
-
-        zero = jnp.zeros((B, H), h.dtype)
-        # the gradient chain walks opposite to the forward direction
-        _, dpre_all = jax.lax.scan(step, (zero, zero),
-                                   (dh_out, pre, c, c_prev),
-                                   reverse=not reverse, unroll=_UNROLL)
+        dpre = _lstm_dpre(h, c, pre, sW, dh_out, reverse)
         # Weight gradient as one big GEMM over all steps.
-        d_sW = jnp.einsum("tbg,tbh->gh", dpre_all, h_prev,
+        d_sW = jnp.einsum("tbg,tbh->gh", dpre, _prev_state(h, reverse),
                           preferred_element_type=jnp.float32)
-        return dpre_all, d_sW
+        # cotangent dtype must match the primal; XLA fuses the upcast
+        # into the consuming GEMMs (no f32 copy in HBM)
+        return dpre.astype(dh_out.dtype), d_sW
 
     scan_fn.defvjp(fwd, bwd)
     return scan_fn
@@ -196,6 +239,65 @@ def lstm_scan(gates_x, sW, reverse=False):
     return _lstm_scan_fns[bool(reverse)](gates_x, sW)
 
 
+def _make_lstm_layer(reverse):
+    @jax.custom_vjp
+    def layer_fn(x, iW, b, sW):
+        # evaluated outside differentiation (inference) — see scan_fn note
+        if _use_pallas():
+            from taiyaki_tpu.ops import pallas_rnn
+            T = x.shape[0]
+            bt = pallas_rnn.block_t_for(x.shape[1])
+            h, _, _ = pallas_rnn.lstm_fused_fwd(
+                _pad_time(x, bt), iW, b, sW, block_t=bt,
+                residual_dtype=jnp.bfloat16, reverse=reverse, true_len=T)
+            return h[:T]
+        h, _ = _lstm_fwd_core(x @ iW.T + b, sW, reverse)
+        return h
+
+    def fwd(x, iW, b, sW):
+        if _use_pallas():
+            from taiyaki_tpu.ops import pallas_rnn
+            T = x.shape[0]
+            bt = pallas_rnn.block_t_for(x.shape[1])
+            h, c, pre = pallas_rnn.lstm_fused_fwd(
+                _pad_time(x, bt), iW, b, sW, block_t=bt,
+                residual_dtype=jnp.bfloat16, reverse=reverse,
+                true_len=T)
+            return h[:T], (x, h[:T], c[:T], pre[:T], iW, sW)
+        h, (h_, c, pre, _) = _lstm_fwd_core(x @ iW.T + b, sW, reverse)
+        return h, (x, h, c, pre, iW, sW)
+
+    def bwd(res, dh_out):
+        x, h, c, pre, iW, sW = res
+        dpre = _lstm_dpre(h, c, pre, sW, dh_out, reverse)
+        d_sW = jnp.einsum("tbg,tbh->gh", dpre, _prev_state(h, reverse),
+                          preferred_element_type=jnp.float32)
+        d_iW = jnp.einsum("tbg,tbd->gd", dpre, x,
+                          preferred_element_type=jnp.float32)
+        d_b = jnp.sum(dpre, axis=(0, 1), dtype=jnp.float32)
+        d_x = jnp.einsum("tbg,gd->tbd", dpre, iW,
+                         preferred_element_type=jnp.float32)
+        return (d_x.astype(x.dtype), d_iW.astype(iW.dtype), d_b,
+                d_sW.astype(sW.dtype))
+
+    layer_fn.defvjp(fwd, bwd)
+    return layer_fn
+
+
+_lstm_layer_fns = {False: _make_lstm_layer(False),
+                   True: _make_lstm_layer(True)}
+
+
+def lstm_layer(x, iW, b, sW, reverse=False):
+    """Whole LSTM layer: h = lstm(x @ iW.T + b; sW), direction `reverse`.
+
+    On TPU the gate GEMM runs inside the Pallas kernel (one
+    [block_t*B, D] matmul per grid block) so the [T, B, 4H] gate tensor
+    never visits HBM; elsewhere it lowers to GEMM + lax.scan.
+    """
+    return _lstm_layer_fns[bool(reverse)](x, iW, b, sW)
+
+
 # -- GRU (torch/CUDNN variant: reset gate applied to the hidden matmul) ------
 
 def _gru_fwd_core(gates_x, sW, reverse=False):
@@ -216,9 +318,63 @@ def _gru_fwd_core(gates_x, sW, reverse=False):
     return h, (h, r, z, n, ghn, sW)
 
 
+def _gru_dgrads_scan(res, dh_out, reverse):
+    """Scan-path GRU backward -> (dgx [T,B,3H], dgh [T,B,3H])."""
+    h, r, z, n, ghn, sW = res
+    T, B, H = h.shape
+    h_prev = _prev_state(h, reverse)
+
+    def step(dh_next, xs):
+        dh_t, r_t, z_t, n_t, ghn_t, h_prev_t = xs
+        dh = dh_t + dh_next
+        dz = dh * (h_prev_t - n_t)
+        dn = dh * (1.0 - z_t)
+        dn_pre = dn * (1.0 - n_t * n_t)
+        dr = dn_pre * ghn_t
+        dr_pre = dr * r_t * (1.0 - r_t)
+        dz_pre = dz * z_t * (1.0 - z_t)
+        # gradient wrt the hidden-matmul outputs gh = h_prev @ sW.T
+        dgh = jnp.concatenate([dr_pre, dz_pre, dn_pre * r_t], axis=1)
+        dh_prev = dgh @ sW + dh * z_t
+        # gradient wrt the input gates gx
+        dgx = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
+        return dh_prev, (dgx, dgh)
+
+    zero = jnp.zeros((B, H), h.dtype)
+    _, (dgx_all, dgh_all) = jax.lax.scan(
+        step, zero, (dh_out, r, z, n, ghn, h_prev),
+        reverse=not reverse, unroll=_UNROLL)
+    return dgx_all, dgh_all
+
+
+def _gru_dgrads_pallas(h, gx, gh, sW, dh_out, reverse):
+    from taiyaki_tpu.ops import pallas_rnn
+    T, B, H = h.shape
+    bt = pallas_rnn.block_t_for(B)
+    gdt = _grad_stream_dtype()
+    h_prev = _prev_state(h, reverse)
+    dgx, dgh = pallas_rnn.gru_bwd(
+        _pad_time(dh_out.astype(gdt or dh_out.dtype), bt),
+        _pad_time(gx, bt),
+        _pad_time(gh, bt), _pad_time(h_prev, bt), sW,
+        block_t=bt, reverse=reverse, grad_dtype=gdt)
+    return dgx[:T], dgh[:T]
+
+
 def _make_gru_scan(reverse):
     @jax.custom_vjp
     def scan_fn(gates_x, sW):
+        # evaluated outside differentiation (inference) — see lstm note
+        if _use_pallas():
+            from taiyaki_tpu.ops import pallas_rnn
+            T = gates_x.shape[0]
+            bt = pallas_rnn.block_t_for(gates_x.shape[1])
+            gxdt = _gate_stream_dtype()
+            h, _ = pallas_rnn.gru_fwd(
+                _pad_time(gates_x.astype(gxdt or gates_x.dtype), bt),
+                sW, block_t=bt, residual_dtype=jnp.bfloat16,
+                reverse=reverse)
+            return h[:T]
         h, _ = _gru_fwd_core(gates_x, sW, reverse)
         return h
 
@@ -227,58 +383,28 @@ def _make_gru_scan(reverse):
             from taiyaki_tpu.ops import pallas_rnn
             T = gates_x.shape[0]
             bt = pallas_rnn.block_t_for(gates_x.shape[1])
-            gx = _pad_time(gates_x, bt)
-            h, gh = pallas_rnn.gru_fwd(gx, sW, block_t=bt,
+            gxdt = _gate_stream_dtype()
+            gx_c = gates_x.astype(gxdt or gates_x.dtype)
+            h, gh = pallas_rnn.gru_fwd(_pad_time(gx_c, bt), sW,
+                                       block_t=bt,
                                        residual_dtype=jnp.bfloat16,
                                        reverse=reverse)
-            # Residuals for the Pallas backward: raw gates + hidden matmuls.
-            return h[:T], (h[:T], gates_x, gh[:T], sW)
+            # Residuals for the Pallas backward: gates (in their stream
+            # dtype, re-read by the bwd kernel) + hidden matmuls.
+            return h[:T], (h[:T], gx_c, gh[:T], sW)
         return _gru_fwd_core(gates_x, sW, reverse)
 
     def bwd(res, dh_out):
         if _use_pallas():
-            from taiyaki_tpu.ops import pallas_rnn
-            h, gates_x, gh, sW = res
-            T, B, H = h.shape
-            bt = pallas_rnn.block_t_for(B)
-            gdt = _grad_stream_dtype()
-            h_prev = _prev_state(h, reverse)
-            dgx, dgh = pallas_rnn.gru_bwd(
-                _pad_time(dh_out.astype(gdt or dh_out.dtype), bt),
-                _pad_time(gates_x, bt),
-                _pad_time(gh, bt), _pad_time(h_prev, bt), sW,
-                block_t=bt, reverse=reverse, grad_dtype=gdt)
-            dgx, dgh = dgx[:T], dgh[:T]
-            d_sW = jnp.einsum("tbg,tbh->gh", dgh, h_prev,
-                              preferred_element_type=jnp.float32)
-            return dgx.astype(dh_out.dtype), d_sW
-        h, r, z, n, ghn, sW = res
-        T, B, H = h.shape
-        h_prev = _prev_state(h, reverse)
-
-        def step(dh_next, xs):
-            dh_t, r_t, z_t, n_t, ghn_t, h_prev_t = xs
-            dh = dh_t + dh_next
-            dz = dh * (h_prev_t - n_t)
-            dn = dh * (1.0 - z_t)
-            dn_pre = dn * (1.0 - n_t * n_t)
-            dr = dn_pre * ghn_t
-            dr_pre = dr * r_t * (1.0 - r_t)
-            dz_pre = dz * z_t * (1.0 - z_t)
-            # gradient wrt the hidden-matmul outputs gh = h_prev @ sW.T
-            dgh = jnp.concatenate([dr_pre, dz_pre, dn_pre * r_t], axis=1)
-            dh_prev = dgh @ sW + dh * z_t
-            # gradient wrt the input gates gx
-            dgx = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
-            return dh_prev, (dgx, dgh)
-
-        zero = jnp.zeros((B, H), h.dtype)
-        _, (dgx_all, dgh_all) = jax.lax.scan(
-            step, zero, (dh_out, r, z, n, ghn, h_prev),
-            reverse=not reverse, unroll=_UNROLL)
-        d_sW = jnp.einsum("tbg,tbh->gh", dgh_all, h_prev,
+            h, gx, gh, sW = res
+            dgx, dgh = _gru_dgrads_pallas(h, gx, gh, sW, dh_out, reverse)
+        else:
+            h = res[0]
+            sW = res[-1]
+            dgx, dgh = _gru_dgrads_scan(res, dh_out, reverse)
+        d_sW = jnp.einsum("tbg,tbh->gh", dgh, _prev_state(h, reverse),
                           preferred_element_type=jnp.float32)
-        return dgx_all, d_sW
+        return dgx.astype(dh_out.dtype), d_sW
 
     scan_fn.defvjp(fwd, bwd)
     return scan_fn
@@ -300,3 +426,65 @@ def gru_scan(gates_x, sW, reverse=False):
         h: [T, B, H] hidden states.
     """
     return _gru_scan_fns[bool(reverse)](gates_x, sW)
+
+
+def _make_gru_layer(reverse):
+    @jax.custom_vjp
+    def layer_fn(x, iW, b, sW):
+        # evaluated outside differentiation (inference) — see lstm note
+        if _use_pallas():
+            from taiyaki_tpu.ops import pallas_rnn
+            T = x.shape[0]
+            bt = pallas_rnn.block_t_for(x.shape[1])
+            h, _, _ = pallas_rnn.gru_fused_fwd(
+                _pad_time(x, bt), iW, b, sW, block_t=bt,
+                residual_dtype=jnp.bfloat16, reverse=reverse, true_len=T)
+            return h[:T]
+        h, _ = _gru_fwd_core(x @ iW.T + b, sW, reverse)
+        return h
+
+    def fwd(x, iW, b, sW):
+        if _use_pallas():
+            from taiyaki_tpu.ops import pallas_rnn
+            T = x.shape[0]
+            bt = pallas_rnn.block_t_for(x.shape[1])
+            # the GRU backward re-reads the input gates, so the fused
+            # kernel emits them as a bf16 residual stream alongside h/gh
+            h, gh, gx = pallas_rnn.gru_fused_fwd(
+                _pad_time(x, bt), iW, b, sW, block_t=bt,
+                residual_dtype=jnp.bfloat16, reverse=reverse,
+                true_len=T)
+            return h[:T], (x, h[:T], gx[:T], gh[:T], iW, sW)
+        h, (h_, r, z, n, ghn, _) = _gru_fwd_core(x @ iW.T + b, sW, reverse)
+        return h, (x, (h, r, z, n, ghn, sW), iW, sW)
+
+    def bwd(res, dh_out):
+        if _use_pallas():
+            x, h, gx, gh, iW, sW = res
+            dgx, dgh = _gru_dgrads_pallas(h, gx, gh, sW, dh_out, reverse)
+        else:
+            x, core_res, iW, sW = res
+            h = core_res[0]
+            dgx, dgh = _gru_dgrads_scan(core_res, dh_out, reverse)
+        d_sW = jnp.einsum("tbg,tbh->gh", dgh, _prev_state(h, reverse),
+                          preferred_element_type=jnp.float32)
+        d_iW = jnp.einsum("tbg,tbd->gd", dgx, x,
+                          preferred_element_type=jnp.float32)
+        d_b = jnp.sum(dgx, axis=(0, 1), dtype=jnp.float32)
+        d_x = jnp.einsum("tbg,gd->tbd", dgx, iW,
+                         preferred_element_type=jnp.float32)
+        return (d_x.astype(x.dtype), d_iW.astype(iW.dtype), d_b,
+                d_sW.astype(sW.dtype))
+
+    layer_fn.defvjp(fwd, bwd)
+    return layer_fn
+
+
+_gru_layer_fns = {False: _make_gru_layer(False),
+                  True: _make_gru_layer(True)}
+
+
+def gru_layer(x, iW, b, sW, reverse=False):
+    """Whole GRU layer: h = gru(x @ iW.T + b; sW), direction `reverse`.
+    See lstm_layer."""
+    return _gru_layer_fns[bool(reverse)](x, iW, b, sW)

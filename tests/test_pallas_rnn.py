@@ -127,6 +127,54 @@ def test_gru_reverse_matches_flip():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_lstm_fused_fwd_matches_unfused():
+    # in-kernel gate GEMM == XLA GEMM + plain kernel, incl. tail masking
+    rng = np.random.default_rng(7)
+    T, B, D, H = 27, 8, 12, 16   # T NOT a multiple of block_t
+    x = jnp.asarray(rng.normal(size=(T, B, D)).astype(np.float32))
+    iW = jnp.asarray(rng.normal(size=(4 * H, D)).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.normal(size=(4 * H,)).astype(np.float32))
+    sW = jnp.asarray(rng.normal(size=(4 * H, H)).astype(np.float32) * 0.3)
+    xp = rnn._pad_time(x, 8)
+    for reverse in (False, True):
+        h_f, c_f, pre_f = pallas_rnn.lstm_fused_fwd(
+            xp, iW, b, sW, block_t=8, interpret=True, reverse=reverse,
+            true_len=T)
+        gates = xp @ iW.T + b
+        # zero-pad rows must behave as gx=0 for the reference kernel
+        gates = gates.at[T:].set(0.0)
+        h_u, c_u, pre_u = pallas_rnn.lstm_fwd(gates, sW, block_t=8,
+                                              interpret=True,
+                                              reverse=reverse)
+        np.testing.assert_allclose(np.asarray(h_f[:T]), np.asarray(h_u[:T]),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(pre_f[:T]),
+                                   np.asarray(pre_u[:T]),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_gru_fused_fwd_matches_unfused():
+    rng = np.random.default_rng(8)
+    T, B, D, H = 27, 8, 12, 16
+    x = jnp.asarray(rng.normal(size=(T, B, D)).astype(np.float32))
+    iW = jnp.asarray(rng.normal(size=(3 * H, D)).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.normal(size=(3 * H,)).astype(np.float32))
+    sW = jnp.asarray(rng.normal(size=(3 * H, H)).astype(np.float32) * 0.3)
+    xp = rnn._pad_time(x, 8)
+    for reverse in (False, True):
+        h_f, gh_f, gx_f = pallas_rnn.gru_fused_fwd(
+            xp, iW, b, sW, block_t=8, interpret=True, reverse=reverse,
+            true_len=T)
+        gates = (xp @ iW.T + b).at[T:].set(0.0)
+        h_u, gh_u = pallas_rnn.gru_fwd(gates, sW, block_t=8,
+                                       interpret=True, reverse=reverse)
+        np.testing.assert_allclose(np.asarray(h_f[:T]), np.asarray(h_u[:T]),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gx_f[:T]),
+                                   np.asarray(gates[:T]),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_block_t_scales_down_with_batch():
     # VMEM streams scale with block_t * B; larger batches must shrink
     # block_t (power of two) to stay within the tuned B=64 budget.

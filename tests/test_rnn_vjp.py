@@ -91,3 +91,51 @@ def test_lstm_scan_reverse_matches_flipped_autodiff():
 
 def test_gru_scan_reverse_matches_flipped_autodiff():
     check(rnn.gru_scan, naive_gru, 3, reverse=True)
+
+
+def check_layer(layer_fn, naive_fn, k, reverse):
+    """Layer-level op (x, iW, b, sW) vs autodiff through GEMM + naive."""
+    rng = np.random.default_rng(1)
+    T, B, D, H = 7, 3, 4, 5
+    x = jnp.asarray(rng.normal(size=(T, B, D)).astype(np.float32))
+    iW = jnp.asarray(rng.normal(size=(k * H, D)).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.normal(size=(k * H,)).astype(np.float32) * 0.3)
+    sW = jnp.asarray(rng.normal(size=(k * H, H)).astype(np.float32) * 0.3)
+    w = jnp.asarray(rng.normal(size=(T, B, H)).astype(np.float32))
+
+    def loss_fast(x, iW, b, sW):
+        return jnp.sum(layer_fn(x, iW, b, sW, reverse=reverse) * w)
+
+    def loss_naive(x, iW, b, sW):
+        y = naive_fn(jnp.flip(x, 0) if reverse else x, iW, b, sW)
+        return jnp.sum((jnp.flip(y, 0) if reverse else y) * w)
+
+    y_naive = naive_fn(jnp.flip(x, 0) if reverse else x, iW, b, sW)
+    if reverse:
+        y_naive = jnp.flip(y_naive, 0)
+    np.testing.assert_allclose(
+        np.asarray(layer_fn(x, iW, b, sW, reverse=reverse)),
+        np.asarray(y_naive), rtol=1e-5, atol=1e-6)
+    g1 = jax.grad(loss_fast, argnums=(0, 1, 2, 3))(x, iW, b, sW)
+    g2 = jax.grad(loss_naive, argnums=(0, 1, 2, 3))(x, iW, b, sW)
+    for a, c in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def naive_lstm_layer(x, iW, b, sW):
+    return naive_lstm(x @ iW.T + b, sW)
+
+
+def naive_gru_layer(x, iW, b, sW):
+    return naive_gru(x @ iW.T + b, sW)
+
+
+def test_lstm_layer_matches_autodiff():
+    for reverse in (False, True):
+        check_layer(rnn.lstm_layer, naive_lstm_layer, 4, reverse)
+
+
+def test_gru_layer_matches_autodiff():
+    for reverse in (False, True):
+        check_layer(rnn.gru_layer, naive_gru_layer, 3, reverse)
