@@ -1,6 +1,7 @@
 # Development targets (reference: top-level Makefile test tiers).
 
-.PHONY: test unit_test acceptance_test workflow_test multidevice_test bench
+.PHONY: test unit_test acceptance_test workflow_test multidevice_test \
+	multihost_test bench
 
 test: unit_test
 
@@ -18,6 +19,11 @@ workflow_test:
 
 multidevice_test:
 	bash workflow/test_multidevice.sh
+
+# Real 2-process rendezvous (Gloo over CPU) — the TPU analogue of the
+# reference's test_multiGPU.sh, but CI-able without accelerators.
+multihost_test:
+	python3 -m pytest tests/test_multihost.py -q
 
 bench:
 	python3 bench.py

@@ -31,7 +31,10 @@ def main():
 
     chunk_len = 4000
     stride = 5
-    batch_size = 64
+    # bs128 measured best on the fused kernels (4273 vs 4014 at bs64) and
+    # matches the reference's min_sub_batch_size default; override with
+    # BENCH_BATCH for scaling probes.
+    batch_size = int(os.environ.get("BENCH_BATCH", "128"))
     max_seqlen = train.max_seqlen_for_chunk(chunk_len, stride, 1.1)
 
     rng = np.random.default_rng(0)
@@ -95,7 +98,8 @@ def main():
     print(json.dumps({
         "metric": "train_chunks_per_sec",
         "value": round(chunks_per_sec, 3),
-        "unit": "chunks/s (mLstm256 s5 chunk4000 bs64, full train step)",
+        "unit": "chunks/s (mLstm256 s5 chunk4000 bs{}, full train "
+                "step)".format(batch_size),
         "vs_baseline": vs_baseline,
     }))
 

@@ -454,7 +454,7 @@ def _logz_pallas_fwd(scores):
     from taiyaki_tpu.ops import pallas_logz
     nblk, nbatch, ntrans = scores.shape
     nbase = _nbase_from_ntrans(ntrans)
-    bt = pallas_logz.DEFAULT_BLOCK_T
+    bt = pallas_logz.block_t_for(nbatch)
     scores_p = _logz_pad_scores(scores, bt)
     _, logz, lattice = pallas_logz.logz_forward(scores_p, nbase, block_t=bt)
     # kernel starts from a renormalized initial state; the scan version
@@ -466,7 +466,7 @@ def _logz_pallas_fwd(scores):
 def _logz_pallas_bwd(res, g):
     from taiyaki_tpu.ops import pallas_logz
     scores_p, lattice, nblk, ntrans, nbase = res
-    bt = pallas_logz.DEFAULT_BLOCK_T
+    bt = pallas_logz.block_t_for(scores_p.shape[1])
     post = pallas_logz.logz_backward_posteriors(scores_p, lattice, nbase,
                                                 block_t=bt)
     return (post[:nblk, :, :ntrans] * g[None, :, None],)

@@ -29,6 +29,16 @@ LANES = 128
 DEFAULT_BLOCK_T = 32
 
 
+def block_t_for(batch_size):
+    """Scale block_t down (power of two) so VMEM streams stay within the
+    B=64 budget DEFAULT_BLOCK_T was tuned for (streams ~ block_t * B);
+    batches beyond 64 OOM'd the 16MB scoped vmem otherwise."""
+    bt = DEFAULT_BLOCK_T
+    while bt > 1 and bt * batch_size > 64 * DEFAULT_BLOCK_T:
+        bt //= 2
+    return bt
+
+
 def selectors(nbase):
     """(SRC [2nb, ntrans], DST [2nb, ntrans], stay_cols) as numpy 0/1.
 
