@@ -302,6 +302,7 @@ def main():
     # training-throughput trade (taiyaki_tpu/ops/rnn.py) and basecalls
     # should not pay accuracy for it.  Exported env wins if set.
     os.environ.setdefault("TAIYAKI_TPU_F32_GATES", "1")
+    os.environ.setdefault("TAIYAKI_TPU_F32_SCORES", "1")
     import jax
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")

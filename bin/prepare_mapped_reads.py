@@ -55,6 +55,7 @@ def main():
     # Remapping quality should not pay for the bf16 training-throughput
     # trade (taiyaki_tpu/ops/rnn.py); exported env wins if set.
     os.environ.setdefault("TAIYAKI_TPU_F32_GATES", "1")
+    os.environ.setdefault("TAIYAKI_TPU_F32_SCORES", "1")
     print("Running prepare_mapping using flip-flop remapping")
 
     if not args.overwrite and os.path.exists(args.output):

@@ -51,6 +51,17 @@ def _use_pallas():
         return False
 
 
+def _score_stream_dtype():
+    """Storage dtype for the stay/move score streams fed to the Pallas
+    lattice kernels.  bf16 halves the dominant CRF HBM traffic (kernel
+    arithmetic stays f32); it perturbs loss values by ~1e-3 relative
+    (rounding of the scores entering the DP).  TAIYAKI_TPU_F32_SCORES=1
+    restores exact-f32 values."""
+    if os.environ.get("TAIYAKI_TPU_F32_SCORES") == "1":
+        return jnp.float32
+    return jnp.bfloat16
+
+
 def _pad_axis(x, axis, multiple, value):
     n = x.shape[axis]
     pad = (-n) % multiple
@@ -61,14 +72,19 @@ def _pad_axis(x, axis, multiple, value):
     return jnp.pad(x, widths, constant_values=value)
 
 
-def _pallas_lattice_inputs(stay_all, move_all, valid, block_t):
+def _pallas_lattice_inputs(stay_all, move_all, valid, block_t, dtype=None):
     """Pad lattice streams for the Pallas kernels.
 
     L pads to a lane multiple (128); T pads to block_t with no-op blocks
-    (stay = 0, move = -inf leave the carry and score unchanged).
+    (stay = 0, move = -inf leave the carry and score unchanged).  Streams
+    are stored as `dtype` (default `_score_stream_dtype()`).
     """
-    stay_p = _pad_axis(_pad_axis(stay_all, 2, 128, 0.0), 0, block_t, 0.0)
-    move_p = _pad_axis(_pad_axis(move_all, 2, 128, _NEG), 0, block_t, _NEG)
+    # -1e30 pad is exact in bf16 (f32 exponent range)
+    sdt = dtype or _score_stream_dtype()
+    stay_p = _pad_axis(_pad_axis(stay_all.astype(sdt), 2, 128, 0.0),
+                       0, block_t, 0.0)
+    move_p = _pad_axis(_pad_axis(move_all.astype(sdt), 2, 128, _NEG),
+                       0, block_t, _NEG)
     valid_p = _pad_axis(valid.astype(jnp.int32), 1, 128, 0)
     return stay_p, move_p, valid_p
 
@@ -426,18 +442,19 @@ def cat_mod_flipflop_loss(logprob, seqs, seqlens, mod_cats, can_mods_offsets,
 
 # -- partition function ------------------------------------------------------
 
-def _logz_pad_scores(scores, block_t):
+def _logz_pad_scores(scores, block_t, dtype=None):
     """[T, B, ntrans] -> [T_pad, B, 128] with -inf lane padding and
-    identity (stay-only) blocks for the T padding."""
+    identity (stay-only) blocks for the T padding.  Stored as `dtype`
+    (default `_score_stream_dtype()`)."""
     from taiyaki_tpu.ops import pallas_logz
     nblk, nbatch, ntrans = scores.shape
     nbase = _nbase_from_ntrans(ntrans)
-    scores_p = _pad_axis(scores.astype(jnp.float32), 2, pallas_logz.LANES,
-                         _NEG)
+    sdt = dtype or _score_stream_dtype()
+    scores_p = _pad_axis(scores.astype(sdt), 2, pallas_logz.LANES, _NEG)
     t_pad = (-nblk) % block_t
     if t_pad:
         _, _, stay_cols = pallas_logz.selectors(nbase)
-        ident = jnp.full((pallas_logz.LANES,), _NEG, jnp.float32)
+        ident = jnp.full((pallas_logz.LANES,), _NEG, sdt)
         ident = ident.at[jnp.asarray(stay_cols)].set(0.0)
         pad = jnp.broadcast_to(ident, (t_pad, nbatch, pallas_logz.LANES))
         scores_p = jnp.concatenate([scores_p, pad], axis=0)
@@ -456,7 +473,9 @@ def _logz_pallas_fwd(scores):
     nbase = _nbase_from_ntrans(ntrans)
     bt = pallas_logz.block_t_for(nbatch)
     scores_p = _logz_pad_scores(scores, bt)
-    _, logz, lattice = pallas_logz.logz_forward(scores_p, nbase, block_t=bt)
+    # lattice is a gradient-only residual: bf16 halves its HBM stream
+    _, logz, lattice = pallas_logz.logz_forward(
+        scores_p, nbase, block_t=bt, residual_dtype=jnp.bfloat16)
     # kernel starts from a renormalized initial state; the scan version
     # counts the initial logsumexp(init) = log(nbase) in its total
     logz = logz + jnp.log(float(nbase))
@@ -468,8 +487,10 @@ def _logz_pallas_bwd(res, g):
     scores_p, lattice, nblk, ntrans, nbase = res
     bt = pallas_logz.block_t_for(scores_p.shape[1])
     post = pallas_logz.logz_backward_posteriors(scores_p, lattice, nbase,
-                                                block_t=bt)
-    return (post[:nblk, :, :ntrans] * g[None, :, None],)
+                                                block_t=bt,
+                                                out_dtype=jnp.bfloat16)
+    return (post[:nblk, :, :ntrans].astype(jnp.float32)
+            * g[None, :, None],)
 
 
 _logz_pallas.defvjp(_logz_pallas_fwd, _logz_pallas_bwd)

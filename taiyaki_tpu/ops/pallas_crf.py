@@ -29,7 +29,9 @@ BWD_BLOCK_T = 4
 
 def _scaled_block_t(base, batch_size):
     """Shrink block_t (power-of-two) so VMEM streams stay within the
-    B=64 budget the base values were tuned for."""
+    B=64 budget the base values were tuned for.  (Probed 2026-08-17:
+    doubling the budget at B=128 OOMs the CRF kernels and gains nothing
+    for RNN/logZ — DMA per grid step is not the bottleneck.)"""
     bt = base
     while bt > 1 and bt * batch_size > 64 * base:
         bt //= 2
@@ -58,10 +60,11 @@ def _fwd_kernel(stay_ref, move_ref, valid_ref, fwd_out, score_out,
         fwd = fwd_carry[:]
         valid = valid_ref[:] > 0
         lattice_ref[k] = fwd.astype(lattice_ref.dtype)
-        stay_part = fwd + stay_ref[k]
+        stay_part = fwd + stay_ref[k].astype(jnp.float32)
         # move into position p from p-1: shift fwd right by one position
         shifted = pltpu.roll(fwd, 1, 1)
-        move_sc = pltpu.roll(move_ref[k], 1, 1)
+        # astype before roll: Mosaic's dynamic_rotate is 32-bit only
+        move_sc = pltpu.roll(move_ref[k].astype(jnp.float32), 1, 1)
         B, L = fwd.shape
         col = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
         move_part = jnp.where(col == 0, _NEG, shifted + move_sc)
@@ -146,8 +149,8 @@ def _bwd_kernel(stay_ref, move_ref, lattice_ref, valid_ref, last_ref,
         k = block_t - 1 - j
         valid = valid_ref[:] > 0
         bwd_next = bwd_carry[:]
-        stay_sc = stay_ref[k]
-        move_sc = move_ref[k]
+        stay_sc = stay_ref[k].astype(jnp.float32)
+        move_sc = move_ref[k].astype(jnp.float32)
         fwd_curr = lattice_ref[k].astype(jnp.float32)
 
         # posterior over the 2L-1 transitions of this block

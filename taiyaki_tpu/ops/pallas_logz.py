@@ -91,9 +91,9 @@ def _fwd_kernel(scores_ref, src_ref, dst_ref, fwd_out, logz_out,
 
     def body(k, _):
         fwd = fwd_carry[:]
-        lattice_ref[k] = fwd
-        cand = jnp.dot(fwd, src_ref[:],
-                       preferred_element_type=jnp.float32) + scores_ref[k]
+        lattice_ref[k] = fwd.astype(lattice_ref.dtype)
+        cand = (jnp.dot(fwd, src_ref[:], preferred_element_type=jnp.float32)
+                + scores_ref[k].astype(jnp.float32))
         cand = jnp.where(col < nff * (nff // 2 + 1), cand, _NEG)
         mx = jnp.max(cand, axis=1, keepdims=True)
         ex = jnp.where(cand > _NEG / 2, jnp.exp(cand - mx), 0.0)
@@ -114,18 +114,23 @@ def _fwd_kernel(scores_ref, src_ref, dst_ref, fwd_out, logz_out,
         logz_out[:] = logz_carry[:]
 
 
-def logz_forward(scores_p, nbase, block_t=DEFAULT_BLOCK_T, interpret=False):
+def logz_forward(scores_p, nbase, block_t=DEFAULT_BLOCK_T, interpret=False,
+                 residual_dtype=None):
     """Forward pass.
 
     Args:
         scores_p: [T, B, LANES] scores padded with -inf beyond ntrans and
-            with identity blocks beyond the true T.
+            with identity blocks beyond the true T (any float dtype;
+            arithmetic is f32).
         nbase: number of canonical bases.
+        residual_dtype: storage dtype for the lattice (a gradient-only
+            residual; logz/fwd_final stay float32).
 
     Returns:
         (fwd_final [B, LANES], logz [B], lattice [T, B, LANES]).
     """
     T, B, L = scores_p.shape
+    res_dt = residual_dtype or jnp.float32
     assert L == LANES and T % block_t == 0
     src, dst, _ = selectors(nbase)
     kernel = functools.partial(_fwd_kernel, block_t=block_t, nff=2 * nbase)
@@ -150,7 +155,7 @@ def logz_forward(scores_p, nbase, block_t=DEFAULT_BLOCK_T, interpret=False):
         out_shape=[
             jax.ShapeDtypeStruct((B, LANES), jnp.float32),
             jax.ShapeDtypeStruct((B,), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, LANES), res_dt),
         ],
         scratch_shapes=[
             pltpu.VMEM((B, LANES), jnp.float32),
@@ -173,16 +178,16 @@ def _bwd_kernel(scores_ref, lattice_ref, src_ref, dst_ref, post_ref,
     def body(j, _):
         k = block_t - 1 - j
         bwd_next = bwd_carry[:]
-        scores_t = scores_ref[k]
-        fwd = lattice_ref[k]
+        scores_t = scores_ref[k].astype(jnp.float32)
+        fwd = lattice_ref[k].astype(jnp.float32)
         bwd_d = jnp.dot(bwd_next, dst_ref[:],
                         preferred_element_type=jnp.float32)
         terms = (jnp.dot(fwd, src_ref[:], preferred_element_type=jnp.float32)
                  + scores_t + jnp.where(col < ntr, bwd_d, _NEG))
         mx = jnp.max(terms, axis=1, keepdims=True)
         ex = jnp.where(terms > _NEG / 2, jnp.exp(terms - mx), 0.0)
-        post_ref[k] = ex / jnp.maximum(
-            jnp.sum(ex, axis=1, keepdims=True), 1e-38)
+        post_ref[k] = (ex / jnp.maximum(
+            jnp.sum(ex, axis=1, keepdims=True), 1e-38)).astype(post_ref.dtype)
 
         terms2 = scores_t + bwd_d
         terms2 = jnp.where(col < ntr, terms2, _NEG)
@@ -200,11 +205,13 @@ def _bwd_kernel(scores_ref, lattice_ref, src_ref, dst_ref, post_ref,
 
 
 def logz_backward_posteriors(scores_p, lattice, nbase,
-                             block_t=DEFAULT_BLOCK_T, interpret=False):
+                             block_t=DEFAULT_BLOCK_T, interpret=False,
+                             out_dtype=None):
     """Backward pass: per-block posterior over the ntrans transitions
     (= d(logZ)/d(scores), rows beyond the true T are garbage and must be
     sliced off by the caller)."""
     T, B, L = scores_p.shape
+    o_dt = out_dtype or jnp.float32
     assert L == LANES and T % block_t == 0
     ngrid = T // block_t
     src, dst, _ = selectors(nbase)
@@ -228,7 +235,7 @@ def logz_backward_posteriors(scores_p, lattice, nbase,
             pl.BlockSpec((block_t, B, LANES), rev, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, LANES), o_dt),
         ],
         scratch_shapes=[pltpu.VMEM((B, LANES), jnp.float32)],
         interpret=interpret,

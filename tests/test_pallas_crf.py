@@ -40,7 +40,7 @@ def test_crf_forward_kernel_matches_scan():
     # pallas (interpret)
     bt = 8
     stay_p, move_p, valid_p = ffops._pallas_lattice_inputs(
-        stay_all, move_all, valid, bt)
+        stay_all, move_all, valid, bt, dtype=jnp.float32)
     fwd_final, score, lattice = pallas_crf.crf_forward(
         stay_p, move_p, valid_p, block_t=bt, interpret=True)
     npos = seqs.shape[1]
@@ -67,7 +67,7 @@ def test_crf_backward_kernel_matches_scan_grad():
     # pallas path assembled manually (interpret)
     bt = 8
     stay_p, move_p, valid_p = ffops._pallas_lattice_inputs(
-        stay_all, move_all, valid, bt)
+        stay_all, move_all, valid, bt, dtype=jnp.float32)
     fwd_final, score, lattice = pallas_crf.crf_forward(
         stay_p, move_p, valid_p, block_t=bt, interpret=True)
     last = jnp.clip(seqlens - 1, 0, npos - 1)
@@ -89,7 +89,7 @@ def test_crf_bf16_residuals_close():
     lp, seqs, seqlens = setup()
     _, _, stay_all, move_all, valid = lattice_streams(lp, seqs, seqlens)
     stay_p, move_p, valid_p = ffops._pallas_lattice_inputs(
-        stay_all, move_all, valid, 8)
+        stay_all, move_all, valid, 8, dtype=jnp.float32)
     fwd32, score32, lat32 = pallas_crf.crf_forward(
         stay_p, move_p, valid_p, block_t=8, interpret=True)
     fwd16, score16, lat16 = pallas_crf.crf_forward(
@@ -109,3 +109,40 @@ def test_crf_bf16_residuals_close():
                                np.asarray(ps32), atol=0.02)
     np.testing.assert_allclose(np.asarray(pm16, dtype=np.float32),
                                np.asarray(pm32), atol=0.02)
+
+
+def test_crf_bf16_score_streams_close():
+    # bf16 stay/move input streams (the production default,
+    # _score_stream_dtype) perturb scores only by input rounding:
+    # kernel arithmetic stays f32.
+    lp, seqs, seqlens = setup(seed=7)
+    stay_idx, move_idx, stay_all, move_all, valid = lattice_streams(
+        lp, seqs, seqlens)
+    score_ref, _ = ffops._forward_scores(
+        lp, stay_idx, move_idx, None, None, seqlens, collect_lattice=True)
+    stay_p, move_p, valid_p = ffops._pallas_lattice_inputs(
+        stay_all, move_all, valid, 8, dtype=jnp.bfloat16)
+    fwd_final, score, lattice = pallas_crf.crf_forward(
+        stay_p, move_p, valid_p, block_t=8, interpret=True)
+    npos = seqs.shape[1]
+    last = jnp.clip(seqlens - 1, 0, npos - 1)
+    score = score + jnp.take_along_axis(
+        fwd_final[:, :npos], last[:, None], axis=1)[:, 0]
+    assert score.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(score), np.asarray(score_ref),
+                               rtol=5e-3, atol=0.05 * lp.shape[0])
+
+    # posterior gradient path stays close too
+    post_stay, post_move = pallas_crf.crf_backward_posteriors(
+        stay_p, move_p, lattice, valid_p, last[:, None].astype(jnp.int32),
+        block_t=4, interpret=True)
+    _, grad_ref = ffops._grad_scores(
+        lp, stay_idx, move_idx, None, None, seqlens)
+    sel_stay, sel_move = ffops._make_selectors(stay_idx, move_idx, None,
+                                               None, 40)
+    T = lp.shape[0]
+    grad = (jnp.einsum("tbl,bls->tbs", post_stay[:T, :, :npos], sel_stay)
+            + jnp.einsum("tbl,bls->tbs", post_move[:T, :, :npos - 1],
+                         sel_move))
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(grad_ref),
+                               atol=0.03)
