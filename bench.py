@@ -31,10 +31,10 @@ def main():
 
     chunk_len = 4000
     stride = 5
-    # bs128 measured best on the fused kernels (4273 vs 4014 at bs64) and
-    # matches the reference's min_sub_batch_size default; override with
-    # BENCH_BATCH for scaling probes.
-    batch_size = int(os.environ.get("BENCH_BATCH", "128"))
+    # bs256 measured best on the fused kernels (4832 vs 4696 at bs128 vs
+    # 4014 at bs64; bs512 exceeds the GRU-bwd kernel's VMEM even at
+    # block_t=1).  Override with BENCH_BATCH for scaling probes.
+    batch_size = int(os.environ.get("BENCH_BATCH", "256"))
     max_seqlen = train.max_seqlen_for_chunk(chunk_len, stride, 1.1)
 
     rng = np.random.default_rng(0)

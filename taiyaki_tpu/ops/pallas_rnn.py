@@ -77,7 +77,7 @@ def _lstm_fwd_kernel(gx_ref, swt_ref, h_ref, c_ref, pre_ref,
         o = jax.nn.sigmoid(pre[:, 3 * H:])
         c2 = f * c + i * g
         h2 = o * jnp.tanh(c2)
-        h_ref[k] = h2
+        h_ref[k] = h2.astype(h_ref.dtype)
         c_ref[k] = c2.astype(c_ref.dtype)
         pre_ref[k] = pre.astype(pre_ref.dtype)
         h_carry[:] = h2
@@ -88,7 +88,7 @@ def _lstm_fwd_kernel(gx_ref, swt_ref, h_ref, c_ref, pre_ref,
 
 
 def lstm_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
-             residual_dtype=None, reverse=False):
+             residual_dtype=None, reverse=False, h_dtype=None):
     """Fused LSTM forward.
 
     Args:
@@ -96,8 +96,10 @@ def lstm_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
             multiple of block_t (callers pad).
         sW: [4H, H] recurrent weights.
         residual_dtype: storage dtype for the backward-pass residuals
-            (c, pre); bfloat16 halves their HBM stream traffic while h
-            and all arithmetic stay float32.
+            (c, pre); bfloat16 halves their HBM stream traffic while all
+            arithmetic stays float32.
+        h_dtype: storage dtype of the h output stream (default f32; the
+            recurrent carry is always f32 in VMEM regardless).
         reverse: run the recurrence backwards in time (for `Reverse`d
             layers) by walking the grid in descending order — outputs stay
             in natural time positions, no data flips needed.
@@ -128,9 +130,7 @@ def lstm_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
             pl.BlockSpec((block_t, B, H4), imap, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            # h stays f32 regardless of the gx stream dtype: it feeds the
-            # next layer's GEMM and the weight-gradient einsum
-            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H), h_dtype or jnp.float32),
             jax.ShapeDtypeStruct((T, B, H), res_dt),
             jax.ShapeDtypeStruct((T, B, H4), res_dt),
         ],
@@ -270,7 +270,7 @@ def _lstm_fused_fwd_kernel(x_ref, iwt_ref, b_ref, swt_ref,
         o = jax.nn.sigmoid(pre[:, 3 * H:])
         c2 = f * c + i * g
         h2 = o * jnp.tanh(c2)
-        h_ref[k] = h2
+        h_ref[k] = h2.astype(h_ref.dtype)
         c_ref[k] = c2.astype(c_ref.dtype)
         pre_ref[k] = pre.astype(pre_ref.dtype)
         h_carry[:] = h2
@@ -281,7 +281,8 @@ def _lstm_fused_fwd_kernel(x_ref, iwt_ref, b_ref, swt_ref,
 
 
 def lstm_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
-                   residual_dtype=None, reverse=False, true_len=None):
+                   residual_dtype=None, reverse=False, true_len=None,
+                   h_dtype=None):
     """Fused gates+time LSTM forward.
 
     Args:
@@ -324,7 +325,7 @@ def lstm_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
             pl.BlockSpec((block_t, B, H4), imap, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Tp, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, B, H), h_dtype or jnp.float32),
             jax.ShapeDtypeStruct((Tp, B, H), res_dt),
             jax.ShapeDtypeStruct((Tp, B, H4), res_dt),
         ],
@@ -356,7 +357,7 @@ def _gru_fused_fwd_kernel(x_ref, iwt_ref, b_ref, swt_ref,
         z = jax.nn.sigmoid(gx[:, H:2 * H] + gh[:, H:2 * H])
         n = jnp.tanh(gx[:, 2 * H:] + r * gh[:, 2 * H:])
         h2 = (1.0 - z) * n + z * h
-        h_ref[k] = h2
+        h_ref[k] = h2.astype(h_ref.dtype)
         gh_ref[k] = gh.astype(gh_ref.dtype)
         gx_ref[k] = gx.astype(gx_ref.dtype)
         h_carry[:] = h2
@@ -366,7 +367,8 @@ def _gru_fused_fwd_kernel(x_ref, iwt_ref, b_ref, swt_ref,
 
 
 def gru_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
-                  residual_dtype=None, reverse=False, true_len=None):
+                  residual_dtype=None, reverse=False, true_len=None,
+                  h_dtype=None):
     """Fused gates+time GRU forward -> (h [T,B,H] f32, gh, gx in
     residual_dtype).  The gate stream gx is emitted because the GRU
     backward re-reads it (unlike the LSTM, whose pre already folds it
@@ -400,7 +402,7 @@ def gru_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
             pl.BlockSpec((block_t, B, H3), imap, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Tp, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, B, H), h_dtype or jnp.float32),
             jax.ShapeDtypeStruct((Tp, B, H3), res_dt),
             jax.ShapeDtypeStruct((Tp, B, H3), res_dt),
         ],
@@ -429,7 +431,7 @@ def _gru_fwd_kernel(gx_ref, swt_ref, h_ref, gh_ref, h_carry,
         z = jax.nn.sigmoid(gx[:, H:2 * H] + gh[:, H:2 * H])
         n = jnp.tanh(gx[:, 2 * H:] + r * gh[:, 2 * H:])
         h2 = (1.0 - z) * n + z * h
-        h_ref[k] = h2
+        h_ref[k] = h2.astype(h_ref.dtype)
         gh_ref[k] = gh.astype(gh_ref.dtype)
         h_carry[:] = h2
         return 0
@@ -438,7 +440,7 @@ def _gru_fwd_kernel(gx_ref, swt_ref, h_ref, gh_ref, h_carry,
 
 
 def gru_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
-            residual_dtype=None, reverse=False):
+            residual_dtype=None, reverse=False, h_dtype=None):
     """Fused GRU forward -> (h [T,B,H], gh [T,B,3H]); gh (a backward
     residual) is stored in residual_dtype.  `reverse` runs the recurrence
     backwards in time (grid walked descending; outputs in natural order)."""
@@ -463,7 +465,7 @@ def gru_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
             pl.BlockSpec((block_t, B, H3), imap, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H), h_dtype or jnp.float32),
             jax.ShapeDtypeStruct((T, B, H3), res_dt),
         ],
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
@@ -481,7 +483,7 @@ def _gru_bwd_kernel(dh_ref, gx_ref, gh_ref, hprev_ref, sw_ref,
         k = order(j)
         gx = gx_ref[k]
         gh = gh_ref[k].astype(jnp.float32)
-        h_prev = hprev_ref[k]
+        h_prev = hprev_ref[k].astype(jnp.float32)
         r = jax.nn.sigmoid(gx[:, :H] + gh[:, :H])
         z = jax.nn.sigmoid(gx[:, H:2 * H] + gh[:, H:2 * H])
         n = jnp.tanh(gx[:, 2 * H:] + r * gh[:, 2 * H:])

@@ -76,6 +76,23 @@ def _gate_stream_dtype():
     return jnp.bfloat16
 
 
+def _act_stream_dtype():
+    """Storage dtype for the inter-layer activation stream h on the fused
+    LAYER path (lstm_layer/gru_layer).  TAIYAKI_TPU_BF16_ACTS=1 stores h in
+    bfloat16 (halving its write + three re-reads: next layer's gate GEMM,
+    d_sW and d_iW einsums) — measured NEUTRAL on v5e (+1.6% at bs128,
+    -1.1% at bs256; the kernels are loop/VPU-bound, not h-stream-bound),
+    so the default stays f32 for exact forward numerics.  Converges to the
+    same loss either way (30-step trajectories match after step ~20).
+    TAIYAKI_TPU_F32_GATES (inference CLIs) forces f32 regardless.
+    """
+    if os.environ.get("TAIYAKI_TPU_F32_GATES") == "1":
+        return None
+    if os.environ.get("TAIYAKI_TPU_BF16_ACTS") == "1":
+        return jnp.bfloat16
+    return None
+
+
 def _grad_stream_dtype():
     """Storage dtype for the backward gradient streams (dh in, dpre/dgx/
     dgh out) of the Pallas kernels.  bfloat16 halves their HBM traffic —
@@ -249,7 +266,8 @@ def _make_lstm_layer(reverse):
             bt = pallas_rnn.block_t_for(x.shape[1])
             h, _, _ = pallas_rnn.lstm_fused_fwd(
                 _pad_time(x, bt), iW, b, sW, block_t=bt,
-                residual_dtype=jnp.bfloat16, reverse=reverse, true_len=T)
+                residual_dtype=jnp.bfloat16, reverse=reverse, true_len=T,
+                h_dtype=_act_stream_dtype())
             return h[:T]
         h, _ = _lstm_fwd_core(x @ iW.T + b, sW, reverse)
         return h
@@ -262,7 +280,7 @@ def _make_lstm_layer(reverse):
             h, c, pre = pallas_rnn.lstm_fused_fwd(
                 _pad_time(x, bt), iW, b, sW, block_t=bt,
                 residual_dtype=jnp.bfloat16, reverse=reverse,
-                true_len=T)
+                true_len=T, h_dtype=_act_stream_dtype())
             return h[:T], (x, h[:T], c[:T], pre[:T], iW, sW)
         h, (h_, c, pre, _) = _lstm_fwd_core(x @ iW.T + b, sW, reverse)
         return h, (x, h, c, pre, iW, sW)
@@ -438,7 +456,8 @@ def _make_gru_layer(reverse):
             bt = pallas_rnn.block_t_for(x.shape[1])
             h, _, _ = pallas_rnn.gru_fused_fwd(
                 _pad_time(x, bt), iW, b, sW, block_t=bt,
-                residual_dtype=jnp.bfloat16, reverse=reverse, true_len=T)
+                residual_dtype=jnp.bfloat16, reverse=reverse, true_len=T,
+                h_dtype=_act_stream_dtype())
             return h[:T]
         h, _ = _gru_fwd_core(x @ iW.T + b, sW, reverse)
         return h
@@ -453,7 +472,7 @@ def _make_gru_layer(reverse):
             h, gh, gx = pallas_rnn.gru_fused_fwd(
                 _pad_time(x, bt), iW, b, sW, block_t=bt,
                 residual_dtype=jnp.bfloat16, reverse=reverse,
-                true_len=T)
+                true_len=T, h_dtype=_act_stream_dtype())
             return h[:T], (x, h[:T], gx[:T], gh[:T], iW, sW)
         h, (h_, r, z, n, ghn, _) = _gru_fwd_core(x @ iW.T + b, sW, reverse)
         return h, (x, (h, r, z, n, ghn, sW), iW, sW)
