@@ -51,6 +51,10 @@ def main():
     seqlens = np.minimum(
         rng.integers(chunk_len // 12, chunk_len // 8, size=batch_size),
         max_seqlen).astype(np.int32)
+    # Pad sequences exactly as the trainer does: to the smallest 128-lane
+    # bucket that fits the batch (train.bucket_seqlen), not to the
+    # worst-case path-buffer bound.
+    max_seqlen = train.bucket_seqlen(int(seqlens.max()), max_seqlen)
     seqs = np.zeros((batch_size, max_seqlen), dtype=np.int32)
     for i in range(batch_size):
         labels = rng.integers(0, 4, size=seqlens[i])

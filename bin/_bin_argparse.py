@@ -119,6 +119,12 @@ def get_train_flipflop_parser():
         help='(TPU) Number of distinct chunk lengths sampled from '
              '[chunk_len_min, chunk_len_max]; bounds XLA recompilation.')
     data_grp.add_argument(
+        '--seqlen_buckets', default=True, action=AutoBool,
+        help='(TPU) Pad each batch\'s sequences to the smallest multiple '
+             'of 128 that fits it instead of to the worst-case path-buffer '
+             'bound — skips CRF-lattice compute on padding. Auto-disabled '
+             'under --multihost (bucket choice is per-host data-dependent).')
+    data_grp.add_argument(
         '--include_reporting_strands', default=False, action=AutoBool,
         help='Include reporting strands in training. Default: Hold '
              'training strands out of training.')

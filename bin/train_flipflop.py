@@ -260,7 +260,10 @@ def main(args):
             val_max_seqlen, alphabet_info, filter_params,
             reverse=args.reverse, standardize=args.standardize,
             can_labels=can_labels, mod_labels=mod_labels,
-            select_strands_randomly=False, first_strand_index=i * 7)
+            select_strands_randomly=False, first_strand_index=i * 7,
+            seqlen_granularity=(128 if (args.seqlen_buckets and
+                                        jax.process_count() == 1)
+                                else None))
         if vb.signal.shape[1] > 0:
             reporting_batches.append(vb)
 
@@ -299,6 +302,9 @@ def main(args):
         local_batch_size = sub_batch_size // nproc
         max_seqlen = train.max_seqlen_for_chunk(
             batch_chunk_len, stride, args.filter_path_buffer)
+        # data-dependent padding buckets need all hosts to agree on shapes,
+        # so multihost runs stay at the static path-buffer bound
+        seqlen_gran = 128 if (args.seqlen_buckets and nproc == 1) else None
         batches = []
         rejections_total = defaultdict(int)
         for _ in range(args.sub_batches):
@@ -306,7 +312,8 @@ def main(args):
                 read_data, batch_chunk_len, local_batch_size, max_seqlen,
                 alphabet_info, filter_params, reverse=args.reverse,
                 standardize=args.standardize, can_labels=can_labels,
-                mod_labels=mod_labels, log=logs.main)
+                mod_labels=mod_labels, log=logs.main,
+                seqlen_granularity=seqlen_gran)
             for k, v in rejections.items():
                 rejections_total[k] += v
             if batch.signal.shape[1] < local_batch_size:

@@ -123,6 +123,31 @@ def max_seqlen_for_chunk(chunk_len, stride, path_buffer=1.1):
     return int(np.ceil(chunk_len / (stride * path_buffer)))
 
 
+def bucket_seqlen(actual_max_seqlen, bound, granularity=128):
+    """Bucketed static padding length for a batch's sequences.
+
+    The CRF lattice kernels pad the sequence-position axis to multiples
+    of 128 lanes, so 128 is the natural bucket granularity: each bucket
+    is a genuinely distinct program shape.  Padding to the smallest
+    bucket that fits the batch (instead of the worst-case path-buffer
+    bound) removes lattice compute that would be spent on padding — on
+    real data the mean-dwell filter keeps sequence lengths well under
+    the bound (measured: chunk 4000 batches max out near 480 vs a bound
+    of 728, a third of the lattice).  The reference instead sizes its
+    DP buffers to the true batch max each iteration
+    (taiyaki/ctc/ctc.pyx:126-134) — free for C on CPU, but on TPU every
+    distinct shape is a compiled program, hence buckets.
+
+    Returns min(bound, ceil(actual/granularity)*granularity), at least
+    granularity.  granularity=None or 0 disables bucketing (returns
+    bound).
+    """
+    if not granularity:
+        return bound
+    bucket = int(np.ceil(max(1, actual_max_seqlen) / granularity))
+    return min(bound, max(granularity, bucket * granularity))
+
+
 def sub_batch_size_for_chunk(min_sub_batch_size, chunk_len_max, chunk_len):
     """Size a sub-batch inversely to chunk length so memory stays constant
     (reference: bin/train_flipflop.py:558-563)."""
@@ -172,9 +197,15 @@ def sample_batch(read_data, batch_chunk_len, sub_batch_size, max_seqlen,
                  alphabet_info, filter_params, reverse=False,
                  standardize=True, can_labels=None, mod_labels=None,
                  select_strands_randomly=True, first_strand_index=0,
-                 log=None):
+                 log=None, seqlen_granularity=None):
     """Sample + filter chunks and assemble a Batch
     (reference: bin/train_flipflop.py:78-142).
+
+    seqlen_granularity, if set, pads sequences to the smallest multiple
+    of it that fits the sampled batch instead of to max_seqlen (the
+    path-buffer bound) — see bucket_seqlen.  Leave None when all hosts
+    of a multihost run must agree on shapes (the bucket choice is
+    data-dependent and per-host).
 
     Returns:
         (Batch, rejection_counts)
@@ -187,6 +218,9 @@ def sample_batch(read_data, batch_chunk_len, sub_batch_size, max_seqlen,
     if len(chunk_batch) < sub_batch_size and log is not None:
         log.write("* Warning: only {} chunks passed filters (asked for "
                   "{}).\n".format(len(chunk_batch), sub_batch_size))
+    if seqlen_granularity:
+        actual = max((c.seq_len for c in chunk_batch), default=1)
+        max_seqlen = bucket_seqlen(actual, max_seqlen, seqlen_granularity)
     batch = prepare_batch(chunk_batch, batch_chunk_len, max_seqlen,
                           alphabet_info, reverse=reverse,
                           can_labels=can_labels, mod_labels=mod_labels)

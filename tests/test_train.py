@@ -123,3 +123,41 @@ def test_zero_warmup_schedule_is_finite():
     assert all(np.isfinite(v) for v in vals)
     assert abs(vals[0] - 4e-3) < 1e-6      # starts at peak
     assert vals[-1] < vals[0]              # decays
+
+
+def test_bucket_seqlen():
+    # smallest multiple of 128 that fits, capped at the bound
+    assert train.bucket_seqlen(1, 728) == 128
+    assert train.bucket_seqlen(128, 728) == 128
+    assert train.bucket_seqlen(129, 728) == 256
+    assert train.bucket_seqlen(480, 728) == 512
+    assert train.bucket_seqlen(700, 728) == 728     # capped
+    assert train.bucket_seqlen(9999, 728) == 728    # capped
+    # disabled => always the bound
+    assert train.bucket_seqlen(100, 728, granularity=None) == 728
+    assert train.bucket_seqlen(100, 728, granularity=0) == 728
+
+
+def test_seqlen_bucketed_batch_matches_full_padding(setup):
+    """Padding the sequences to a smaller bucket must not change the loss:
+    positions past seqlens are masked out of the CRF lattice."""
+    reads, ai, net, params, fp = setup
+    chunk_len, batch_size = 256, 8
+    bound = train.max_seqlen_for_chunk(chunk_len, 2, 1.1)
+    np.random.seed(4242)
+    full, _ = train.sample_batch(reads, chunk_len, batch_size, bound, ai, fp)
+    np.random.seed(4242)
+    bucketed, _ = train.sample_batch(reads, chunk_len, batch_size, bound,
+                                     ai, fp, seqlen_granularity=32)
+    assert bucketed.seqs.shape[1] <= full.seqs.shape[1]
+    assert bucketed.seqs.shape[1] % 32 == 0
+    assert bucketed.seqs.shape[1] >= int(bucketed.seqlens.max())
+    width = bucketed.seqs.shape[1]
+    np.testing.assert_array_equal(bucketed.seqs, full.seqs[:, :width])
+    np.testing.assert_array_equal(bucketed.seqlens, full.seqlens)
+    loss_fn = train.make_loss_fn(net)
+    lf = jax.jit(loss_fn)
+    lb = float(lf(params, bucketed, 1.0))
+    lfull = float(lf(params, full, 1.0))
+    assert np.isfinite(lb)
+    np.testing.assert_allclose(lb, lfull, rtol=1e-5)
