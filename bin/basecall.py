@@ -304,6 +304,11 @@ def main():
     os.environ.setdefault("TAIYAKI_TPU_F32_GATES", "1")
     os.environ.setdefault("TAIYAKI_TPU_F32_SCORES", "1")
     import jax
+    # True f32 for every matmul/conv: TPU's DEFAULT precision runs f32
+    # dots as one bf16 pass; 'highest' restores multi-pass f32 so TPU
+    # basecalls track the CPU reference as closely as the MXU allows
+    # (the Pallas kernels honor the same switch via TAIYAKI_TPU_F32_GATES)
+    jax.config.update("jax_default_matmul_precision", "highest")
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
 

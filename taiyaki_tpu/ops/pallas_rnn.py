@@ -59,7 +59,7 @@ def _time_maps(ngrid, block_t, descending):
 
 
 def _lstm_fwd_kernel(gx_ref, swt_ref, h_ref, c_ref, pre_ref,
-                     h_carry, c_carry, *, block_t, H, order):
+                     h_carry, c_carry, *, block_t, H, order, precision):
     @pl.when(pl.program_id(0) == 0)
     def _():
         h_carry[:] = jnp.zeros_like(h_carry)
@@ -69,7 +69,7 @@ def _lstm_fwd_kernel(gx_ref, swt_ref, h_ref, c_ref, pre_ref,
         k = order(j)
         h = h_carry[:]
         c = c_carry[:]
-        pre = gx_ref[k] + jnp.dot(h, swt_ref[:],
+        pre = gx_ref[k] + jnp.dot(h, swt_ref[:], precision=precision,
                                   preferred_element_type=jnp.float32)
         i = jax.nn.sigmoid(pre[:, :H])
         f = jax.nn.sigmoid(pre[:, H:2 * H])
@@ -88,7 +88,8 @@ def _lstm_fwd_kernel(gx_ref, swt_ref, h_ref, c_ref, pre_ref,
 
 
 def lstm_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
-             residual_dtype=None, reverse=False, h_dtype=None):
+             residual_dtype=None, reverse=False, h_dtype=None,
+             precision=None):
     """Fused LSTM forward.
 
     Args:
@@ -115,7 +116,7 @@ def lstm_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
     imap, order = _time_maps(ngrid, block_t, descending=reverse)
     swt = sW.T  # [H, 4H]
     kernel = functools.partial(_lstm_fwd_kernel, block_t=block_t, H=H,
-                               order=order)
+                               order=order, precision=precision)
     return pl.pallas_call(
         kernel,
         grid=(ngrid,),
@@ -142,6 +143,19 @@ def lstm_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
     )(gates_x, swt)
 
 
+def _emit_dx(g_ref, iwt_ref, dx_ref):
+    """Per-block d_x GEMM: read back the gate-gradient block just written
+    to VMEM and contract it with iW — one [block_t*B, kH] x [kH, D]
+    matmul per grid step, so the XLA-side d_x einsum (and its full HBM
+    re-read of the gradient stream) disappears.  The gradient operand is
+    the *stored* (possibly bf16) block, matching what the outside einsum
+    would have read."""
+    bt, B, kH = g_ref.shape
+    g = g_ref[:].reshape(bt * B, kH)
+    dx = jnp.dot(g, iwt_ref[:], preferred_element_type=jnp.float32)
+    dx_ref[:] = dx.reshape(bt, B, dx.shape[-1]).astype(dx_ref.dtype)
+
+
 def _lstm_bwd_kernel(dh_ref, pre_ref, c_ref, cprev_ref, sw_ref, dpre_ref,
                      dh_carry, dc_carry, *, block_t, H, order):
     @pl.when(pl.program_id(0) == 0)
@@ -166,6 +180,10 @@ def _lstm_bwd_kernel(dh_ref, pre_ref, c_ref, cprev_ref, sw_ref, dpre_ref,
         dpre = jnp.concatenate(
             [di * i * (1.0 - i), df * f * (1.0 - f),
              dg * (1.0 - g * g), do * o * (1.0 - o)], axis=1)
+        # keep f32 operands here: Mosaic's DEFAULT dot precision already
+        # lowers them to ONE bf16 MXU pass (verified bit-identical to
+        # explicit bf16 operands on v5e), so pre-casting dpre to bf16
+        # only adds vreg repacking — measured -1.2% when tried
         dpre_ref[k] = dpre.astype(dpre_ref.dtype)
         dh_carry[:] = jnp.dot(dpre, sw_ref[:],
                               preferred_element_type=jnp.float32)
@@ -175,8 +193,17 @@ def _lstm_bwd_kernel(dh_ref, pre_ref, c_ref, cprev_ref, sw_ref, dpre_ref,
     jax.lax.fori_loop(0, block_t, body, 0)
 
 
+def _lstm_bwd_dx_kernel(dh_ref, pre_ref, c_ref, cprev_ref, sw_ref, iwt_ref,
+                        dpre_ref, dx_ref, dh_carry, dc_carry,
+                        *, block_t, H, order):
+    _lstm_bwd_kernel(dh_ref, pre_ref, c_ref, cprev_ref, sw_ref, dpre_ref,
+                     dh_carry, dc_carry, block_t=block_t, H=H, order=order)
+    _emit_dx(dpre_ref, iwt_ref, dx_ref)
+
+
 def lstm_bwd(dh_out, pre, c, c_prev, sW, block_t=DEFAULT_BLOCK_T,
-             interpret=False, reverse=False, grad_dtype=None):
+             interpret=False, reverse=False, grad_dtype=None,
+             iW=None, dx_dtype=None):
     """Fused LSTM backward: per-step gate gradients dpre [T,B,4H].
 
     `reverse` is the FORWARD direction of the layer; the gradient chain
@@ -184,36 +211,58 @@ def lstm_bwd(dh_out, pre, c, c_prev, sW, block_t=DEFAULT_BLOCK_T,
     for Reverse'd ones).  `grad_dtype` is the storage dtype of the dpre
     stream (bfloat16 halves its HBM traffic; the recurrent dh/dc chain
     stays float32 in VMEM).
+
+    With `iW` ([4H, D]) the kernel also emits d_x = dpre @ iW ([T,B,D],
+    `dx_dtype`) via one per-block GEMM on the VMEM-resident dpre block —
+    the return value becomes (dpre, d_x).
     """
     T, B, H = dh_out.shape
     H4 = 4 * H
     assert T % block_t == 0
     ngrid = T // block_t
     imap, order = _time_maps(ngrid, block_t, descending=not reverse)
-    kernel = functools.partial(_lstm_bwd_kernel, block_t=block_t, H=H,
-                               order=order)
+    with_dx = iW is not None
+    kfn = _lstm_bwd_dx_kernel if with_dx else _lstm_bwd_kernel
+    kernel = functools.partial(kfn, block_t=block_t, H=H, order=order)
+
+    in_specs = [
+        pl.BlockSpec((block_t, B, H), imap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_t, B, H4), imap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_t, B, H), imap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_t, B, H), imap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((H4, H), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = pl.BlockSpec((block_t, B, H4), imap,
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((T, B, H4), grad_dtype or dh_out.dtype)
+    args = [dh_out, pre, c, c_prev, sW]
+    if with_dx:
+        D = iW.shape[1]
+        # dot operand dtypes match what the outside einsum would have
+        # seen: the STORED (grad_dtype) dpre against iW cast to the same
+        args.append(iW.astype(out_shape.dtype))
+        in_specs.append(pl.BlockSpec((H4, D), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        out_specs = [out_specs,
+                     pl.BlockSpec((block_t, B, D), imap,
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((T, B, D),
+                                          dx_dtype or jnp.float32)]
 
     return pl.pallas_call(
         kernel,
         grid=(ngrid,),
-        in_specs=[
-            pl.BlockSpec((block_t, B, H), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, B, H4), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, B, H), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, B, H), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((H4, H), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((block_t, B, H4), imap,
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, B, H4),
-                                       grad_dtype or dh_out.dtype),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, H), jnp.float32),
         ],
         interpret=interpret,
-    )(dh_out, pre, c, c_prev, sW)
+    )(*args)
 
 
 # -- Fused-gates forwards ------------------------------------------------------
@@ -228,11 +277,18 @@ def lstm_bwd(dh_out, pre, c, c_prev, sW, block_t=DEFAULT_BLOCK_T,
 # the padding first).
 
 
-def _fused_gates(x_ref, iwt_ref, b_ref, gx_scratch, block_t):
-    """One per-block gate GEMM into VMEM scratch [block_t, B, kH]."""
+def _fused_gates(x_ref, iwt_ref, b_ref, gx_scratch, block_t, precision):
+    """One per-block gate GEMM into VMEM scratch [block_t, B, kH].
+
+    `precision` follows jax.lax.dot semantics: None (DEFAULT) lowers f32
+    operands to ONE bf16 MXU pass with f32 accumulation — measured
+    bit-identical to explicitly-bf16 operands on v5e, and the right
+    trade for training where the streams are bf16 anyway.  Inference
+    passes HIGHEST for true multi-pass f32 (TAIYAKI_TPU_F32_GATES)."""
     bt, B, D = x_ref.shape
     xb = x_ref[:].reshape(bt * B, D)
-    gx = jnp.dot(xb, iwt_ref[:], preferred_element_type=jnp.float32)
+    gx = jnp.dot(xb, iwt_ref[:], preferred_element_type=jnp.float32,
+                 precision=precision)
     gx_scratch[:] = (gx + b_ref[:]).reshape(bt, B, gx.shape[-1])
 
 
@@ -248,13 +304,14 @@ def _block_base(ngrid, block_t, descending):
 def _lstm_fused_fwd_kernel(x_ref, iwt_ref, b_ref, swt_ref,
                            h_ref, c_ref, pre_ref,
                            h_carry, c_carry, gx_scratch,
-                           *, block_t, H, T, ngrid, descending, order):
+                           *, block_t, H, T, ngrid, descending, order,
+                           precision):
     @pl.when(pl.program_id(0) == 0)
     def _():
         h_carry[:] = jnp.zeros_like(h_carry)
         c_carry[:] = jnp.zeros_like(c_carry)
 
-    _fused_gates(x_ref, iwt_ref, b_ref, gx_scratch, block_t)
+    _fused_gates(x_ref, iwt_ref, b_ref, gx_scratch, block_t, precision)
     base = _block_base(ngrid, block_t, descending)
 
     def body(j, _):
@@ -262,7 +319,7 @@ def _lstm_fused_fwd_kernel(x_ref, iwt_ref, b_ref, swt_ref,
         h = h_carry[:]
         c = c_carry[:]
         gx = jnp.where(base + k < T, gx_scratch[k], 0.0)
-        pre = gx + jnp.dot(h, swt_ref[:],
+        pre = gx + jnp.dot(h, swt_ref[:], precision=precision,
                            preferred_element_type=jnp.float32)
         i = jax.nn.sigmoid(pre[:, :H])
         f = jax.nn.sigmoid(pre[:, H:2 * H])
@@ -282,7 +339,7 @@ def _lstm_fused_fwd_kernel(x_ref, iwt_ref, b_ref, swt_ref,
 
 def lstm_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
                    residual_dtype=None, reverse=False, true_len=None,
-                   h_dtype=None):
+                   h_dtype=None, precision=None):
     """Fused gates+time LSTM forward.
 
     Args:
@@ -291,6 +348,10 @@ def lstm_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
             leaves the carry untouched).
         iW: [4H, D] input weights; b: [4H] bias (torch gate order).
         sW: [4H, H] recurrent weights.
+        precision: jax.lax.Precision for the in-kernel matmuls (gate
+            GEMM and recurrent dot).  None (DEFAULT) = one bf16 MXU pass
+            with f32 accumulation — right for training; HIGHEST = true
+            multi-pass f32, used by inference via TAIYAKI_TPU_F32_GATES.
 
     Returns:
         (h [T,B,H] f32, c, pre in residual_dtype); the true (unpadded)
@@ -306,7 +367,7 @@ def lstm_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
     kernel = functools.partial(
         _lstm_fused_fwd_kernel, block_t=block_t, H=H,
         T=(Tp if true_len is None else true_len), ngrid=ngrid,
-        descending=reverse, order=order)
+        descending=reverse, order=order, precision=precision)
     return pl.pallas_call(
         kernel,
         grid=(ngrid,),
@@ -340,19 +401,21 @@ def lstm_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
 
 def _gru_fused_fwd_kernel(x_ref, iwt_ref, b_ref, swt_ref,
                           h_ref, gh_ref, gx_ref, h_carry, gx_scratch,
-                          *, block_t, H, T, ngrid, descending, order):
+                          *, block_t, H, T, ngrid, descending, order,
+                          precision):
     @pl.when(pl.program_id(0) == 0)
     def _():
         h_carry[:] = jnp.zeros_like(h_carry)
 
-    _fused_gates(x_ref, iwt_ref, b_ref, gx_scratch, block_t)
+    _fused_gates(x_ref, iwt_ref, b_ref, gx_scratch, block_t, precision)
     base = _block_base(ngrid, block_t, descending)
 
     def body(j, _):
         k = order(j)
         h = h_carry[:]
         gx = jnp.where(base + k < T, gx_scratch[k], 0.0)
-        gh = jnp.dot(h, swt_ref[:], preferred_element_type=jnp.float32)
+        gh = jnp.dot(h, swt_ref[:], precision=precision,
+                     preferred_element_type=jnp.float32)
         r = jax.nn.sigmoid(gx[:, :H] + gh[:, :H])
         z = jax.nn.sigmoid(gx[:, H:2 * H] + gh[:, H:2 * H])
         n = jnp.tanh(gx[:, 2 * H:] + r * gh[:, 2 * H:])
@@ -368,11 +431,11 @@ def _gru_fused_fwd_kernel(x_ref, iwt_ref, b_ref, swt_ref,
 
 def gru_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
                   residual_dtype=None, reverse=False, true_len=None,
-                  h_dtype=None):
+                  h_dtype=None, precision=None):
     """Fused gates+time GRU forward -> (h [T,B,H] f32, gh, gx in
     residual_dtype).  The gate stream gx is emitted because the GRU
     backward re-reads it (unlike the LSTM, whose pre already folds it
-    in).  See lstm_fused_fwd for conventions."""
+    in).  See lstm_fused_fwd for conventions (incl. precision)."""
     Tp, B, D = x.shape
     H3 = sW.shape[0]
     H = H3 // 3
@@ -383,7 +446,7 @@ def gru_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
     kernel = functools.partial(
         _gru_fused_fwd_kernel, block_t=block_t, H=H,
         T=(Tp if true_len is None else true_len), ngrid=ngrid,
-        descending=reverse, order=order)
+        descending=reverse, order=order, precision=precision)
     return pl.pallas_call(
         kernel,
         grid=(ngrid,),
@@ -417,7 +480,7 @@ def gru_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
 # -- GRU ---------------------------------------------------------------------
 
 def _gru_fwd_kernel(gx_ref, swt_ref, h_ref, gh_ref, h_carry,
-                    *, block_t, H, order):
+                    *, block_t, H, order, precision):
     @pl.when(pl.program_id(0) == 0)
     def _():
         h_carry[:] = jnp.zeros_like(h_carry)
@@ -426,7 +489,8 @@ def _gru_fwd_kernel(gx_ref, swt_ref, h_ref, gh_ref, h_carry,
         k = order(j)
         h = h_carry[:]
         gx = gx_ref[k]
-        gh = jnp.dot(h, swt_ref[:], preferred_element_type=jnp.float32)
+        gh = jnp.dot(h, swt_ref[:], precision=precision,
+                     preferred_element_type=jnp.float32)
         r = jax.nn.sigmoid(gx[:, :H] + gh[:, :H])
         z = jax.nn.sigmoid(gx[:, H:2 * H] + gh[:, H:2 * H])
         n = jnp.tanh(gx[:, 2 * H:] + r * gh[:, 2 * H:])
@@ -440,7 +504,8 @@ def _gru_fwd_kernel(gx_ref, swt_ref, h_ref, gh_ref, h_carry,
 
 
 def gru_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
-            residual_dtype=None, reverse=False, h_dtype=None):
+            residual_dtype=None, reverse=False, h_dtype=None,
+            precision=None):
     """Fused GRU forward -> (h [T,B,H], gh [T,B,3H]); gh (a backward
     residual) is stored in residual_dtype.  `reverse` runs the recurrence
     backwards in time (grid walked descending; outputs in natural order)."""
@@ -451,7 +516,7 @@ def gru_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
     ngrid = T // block_t
     imap, order = _time_maps(ngrid, block_t, descending=reverse)
     kernel = functools.partial(_gru_fwd_kernel, block_t=block_t, H=H,
-                               order=order)
+                               order=order, precision=precision)
     return pl.pallas_call(
         kernel,
         grid=(ngrid,),
@@ -496,6 +561,8 @@ def _gru_bwd_kernel(dh_ref, gx_ref, gh_ref, hprev_ref, sw_ref,
         dz_pre = dz * z * (1.0 - z)
         dgh = jnp.concatenate([dr_pre, dz_pre, dn_pre * r], axis=1)
         dgx = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
+        # f32 recurrent dot regardless of grad-stream dtype — see the
+        # matching note in _lstm_bwd_kernel
         dgx_ref[k] = dgx.astype(dgx_ref.dtype)
         dgh_ref[k] = dgh.astype(dgh_ref.dtype)
         dh_carry[:] = (jnp.dot(dgh, sw_ref[:],
@@ -506,41 +573,71 @@ def _gru_bwd_kernel(dh_ref, gx_ref, gh_ref, hprev_ref, sw_ref,
     jax.lax.fori_loop(0, block_t, body, 0)
 
 
+def _gru_bwd_dx_kernel(dh_ref, gx_ref, gh_ref, hprev_ref, sw_ref, iwt_ref,
+                       dgx_ref, dgh_ref, dx_ref, dh_carry,
+                       *, block_t, H, order):
+    _gru_bwd_kernel(dh_ref, gx_ref, gh_ref, hprev_ref, sw_ref,
+                    dgx_ref, dgh_ref, dh_carry,
+                    block_t=block_t, H=H, order=order)
+    _emit_dx(dgx_ref, iwt_ref, dx_ref)
+
+
 def gru_bwd(dh_out, gates_x, gh, h_prev, sW, block_t=DEFAULT_BLOCK_T,
-            interpret=False, reverse=False, grad_dtype=None):
+            interpret=False, reverse=False, grad_dtype=None,
+            iW=None, dx_dtype=None):
     """Fused GRU backward -> (dgx [T,B,3H], dgh [T,B,3H]).
 
     `reverse` is the FORWARD direction of the layer; the gradient chain
     walks opposite to it.  `grad_dtype` stores the two gradient streams
     (bfloat16 halves their HBM traffic; the dh chain stays float32).
+
+    With `iW` ([3H, D]) the kernel also emits d_x = dgx @ iW ([T,B,D],
+    `dx_dtype`) via one per-block GEMM on the VMEM-resident dgx block —
+    the return value becomes (dgx, dgh, d_x).
     """
     T, B, H = dh_out.shape
     H3 = 3 * H
     assert T % block_t == 0
     ngrid = T // block_t
     imap, order = _time_maps(ngrid, block_t, descending=not reverse)
-    kernel = functools.partial(_gru_bwd_kernel, block_t=block_t, H=H,
-                               order=order)
+    with_dx = iW is not None
+    kfn = _gru_bwd_dx_kernel if with_dx else _gru_bwd_kernel
+    kernel = functools.partial(kfn, block_t=block_t, H=H, order=order)
+
+    gdt = grad_dtype or dh_out.dtype
+    in_specs = [
+        pl.BlockSpec((block_t, B, H), imap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_t, B, H3), imap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_t, B, H3), imap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_t, B, H), imap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((H3, H), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((block_t, B, H3), imap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_t, B, H3), imap, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((T, B, H3), gdt),
+        jax.ShapeDtypeStruct((T, B, H3), gdt),
+    ]
+    args = [dh_out, gates_x, gh, h_prev, sW]
+    if with_dx:
+        D = iW.shape[1]
+        args.append(iW.astype(gdt))
+        in_specs.append(pl.BlockSpec((H3, D), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        out_specs.append(pl.BlockSpec((block_t, B, D), imap,
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((T, B, D),
+                                              dx_dtype or jnp.float32))
 
     return pl.pallas_call(
         kernel,
         grid=(ngrid,),
-        in_specs=[
-            pl.BlockSpec((block_t, B, H), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, B, H3), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, B, H3), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, B, H), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((H3, H), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((block_t, B, H3), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, B, H3), imap, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((T, B, H3), grad_dtype or dh_out.dtype),
-            jax.ShapeDtypeStruct((T, B, H3), grad_dtype or dh_out.dtype),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
         interpret=interpret,
-    )(dh_out, gates_x, gh, h_prev, sW)
+    )(*args)

@@ -26,13 +26,20 @@ combinator by flipping the data around the inner layer
 (taiyaki/layers.py:117-154); here the kernels walk time in the requested
 direction instead and no flipped copy is ever materialized.
 
-Mixed-precision streams (TPU only; arithmetic is always f32):
+Mixed-precision streams (TPU only; accumulation is always f32):
 * backward residuals (LSTM c/pre, GRU gh) are stored bfloat16;
 * gradient streams (dh in, dpre/dgx/dgh out) are bfloat16 unless
-  TAIYAKI_TPU_F32_GRADS=1;
+  TAIYAKI_TPU_F32_GRADS=1; the fused d_x GEMM consumes the stored
+  (bf16) gradient block, while the backward chain's recurrent dot
+  stays f32 (bf16 operands measured slower there — repacking cost);
 * input-gate streams are bfloat16 unless TAIYAKI_TPU_F32_GATES=1
   (bin/basecall.py and bin/prepare_mapped_reads.py set it — inference
-  does not pay accuracy for a training-throughput trade).
+  does not pay accuracy for a training-throughput trade);
+* the in-kernel forward matmuls run at Mosaic DEFAULT precision (one
+  bf16 MXU pass with f32 accumulation — bit-identical to explicitly
+  bf16 operands on v5e) in training; under TAIYAKI_TPU_F32_GATES=1
+  they switch to Precision.HIGHEST (true multi-pass f32) so inference
+  matches the CPU scan path as closely as the hardware allows.
 
 Semantics match taiyaki_tpu.layers.Lstm / GruMod (torch cell equations
 with the redundant hidden bias pinned to zero).
@@ -90,6 +97,16 @@ def _act_stream_dtype():
         return None
     if os.environ.get("TAIYAKI_TPU_BF16_ACTS") == "1":
         return jnp.bfloat16
+    return None
+
+
+def _mm_precision():
+    """Precision for the forward kernels' in-kernel matmuls.  None
+    (Mosaic DEFAULT) = one bf16 MXU pass, f32 accumulate — training.
+    TAIYAKI_TPU_F32_GATES=1 (inference CLIs) requests HIGHEST: true
+    multi-pass f32, minimizing TPU-vs-CPU basecall divergence."""
+    if os.environ.get("TAIYAKI_TPU_F32_GATES") == "1":
+        return jax.lax.Precision.HIGHEST
     return None
 
 
@@ -156,24 +173,35 @@ def _lstm_fwd_pallas(gates_x, sW, reverse):
     # their HBM traffic; gates are recomputed from bf16 pre in bwd
     h, c, pre = pallas_rnn.lstm_fwd(gx, sW, block_t=bt,
                                     residual_dtype=jnp.bfloat16,
-                                    reverse=reverse)
+                                    reverse=reverse,
+                                    precision=_mm_precision())
     return h[:T], c[:T], pre[:T]
 
 
-def _lstm_dpre(h, c, pre, sW, dh_out, reverse):
+def _lstm_dpre(h, c, pre, sW, dh_out, reverse, iW=None, dx_dtype=None):
     """Backward gradient chain -> per-step gate gradients dpre [T,B,4H]
-    (equal to d gates_x).  Pallas kernel on TPU, scan elsewhere."""
+    (equal to d gates_x).  Pallas kernel on TPU, scan elsewhere.
+
+    With `iW` also returns d_x = dpre @ iW ([T,B,D], `dx_dtype`) —
+    fused into the Pallas kernel (the dpre block is contracted while
+    still VMEM-resident, so the d_x GEMM never re-reads the gradient
+    stream from HBM); an einsum on the scan fallback."""
     T, B, H = h.shape
     c_prev = _prev_state(c, reverse)
     if _use_pallas():
         from taiyaki_tpu.ops import pallas_rnn
         bt = pallas_rnn.block_t_for(B)
         gdt = _grad_stream_dtype()
-        return pallas_rnn.lstm_bwd(
+        out = pallas_rnn.lstm_bwd(
             _pad_time(dh_out.astype(gdt or dh_out.dtype), bt),
             _pad_time(pre, bt),
             _pad_time(c, bt), _pad_time(c_prev, bt), sW,
-            block_t=bt, reverse=reverse, grad_dtype=gdt)[:T]
+            block_t=bt, reverse=reverse, grad_dtype=gdt,
+            iW=iW, dx_dtype=dx_dtype)
+        if iW is not None:
+            dpre, d_x = out
+            return dpre[:T], d_x[:T]
+        return out[:T]
 
     def step(carry, xs):
         dh_next, dc_next = carry
@@ -201,6 +229,10 @@ def _lstm_dpre(h, c, pre, sW, dh_out, reverse):
     _, dpre_all = jax.lax.scan(step, (zero, zero),
                                (dh_out, pre, c, c_prev),
                                reverse=not reverse, unroll=_UNROLL)
+    if iW is not None:
+        d_x = jnp.einsum("tbg,gd->tbd", dpre_all, iW,
+                         preferred_element_type=jnp.float32)
+        return dpre_all, d_x.astype(dx_dtype or jnp.float32)
     return dpre_all
 
 
@@ -267,7 +299,7 @@ def _make_lstm_layer(reverse):
             h, _, _ = pallas_rnn.lstm_fused_fwd(
                 _pad_time(x, bt), iW, b, sW, block_t=bt,
                 residual_dtype=jnp.bfloat16, reverse=reverse, true_len=T,
-                h_dtype=_act_stream_dtype())
+                h_dtype=_act_stream_dtype(), precision=_mm_precision())
             return h[:T]
         h, _ = _lstm_fwd_core(x @ iW.T + b, sW, reverse)
         return h
@@ -280,22 +312,22 @@ def _make_lstm_layer(reverse):
             h, c, pre = pallas_rnn.lstm_fused_fwd(
                 _pad_time(x, bt), iW, b, sW, block_t=bt,
                 residual_dtype=jnp.bfloat16, reverse=reverse,
-                true_len=T, h_dtype=_act_stream_dtype())
+                true_len=T, h_dtype=_act_stream_dtype(),
+                precision=_mm_precision())
             return h[:T], (x, h[:T], c[:T], pre[:T], iW, sW)
         h, (h_, c, pre, _) = _lstm_fwd_core(x @ iW.T + b, sW, reverse)
         return h, (x, h, c, pre, iW, sW)
 
     def bwd(res, dh_out):
         x, h, c, pre, iW, sW = res
-        dpre = _lstm_dpre(h, c, pre, sW, dh_out, reverse)
+        dpre, d_x = _lstm_dpre(h, c, pre, sW, dh_out, reverse,
+                               iW=iW, dx_dtype=x.dtype)
         d_sW = jnp.einsum("tbg,tbh->gh", dpre, _prev_state(h, reverse),
                           preferred_element_type=jnp.float32)
         d_iW = jnp.einsum("tbg,tbd->gd", dpre, x,
                           preferred_element_type=jnp.float32)
         d_b = jnp.sum(dpre, axis=(0, 1), dtype=jnp.float32)
-        d_x = jnp.einsum("tbg,gd->tbd", dpre, iW,
-                         preferred_element_type=jnp.float32)
-        return (d_x.astype(x.dtype), d_iW.astype(iW.dtype), d_b,
+        return (d_x, d_iW.astype(iW.dtype), d_b,
                 d_sW.astype(sW.dtype))
 
     layer_fn.defvjp(fwd, bwd)
@@ -365,17 +397,25 @@ def _gru_dgrads_scan(res, dh_out, reverse):
     return dgx_all, dgh_all
 
 
-def _gru_dgrads_pallas(h, gx, gh, sW, dh_out, reverse):
+def _gru_dgrads_pallas(h, gx, gh, sW, dh_out, reverse, iW=None,
+                       dx_dtype=None):
+    """With `iW` also returns d_x = dgx @ iW fused into the kernel
+    (see _lstm_dpre)."""
     from taiyaki_tpu.ops import pallas_rnn
     T, B, H = h.shape
     bt = pallas_rnn.block_t_for(B)
     gdt = _grad_stream_dtype()
     h_prev = _prev_state(h, reverse)
-    dgx, dgh = pallas_rnn.gru_bwd(
+    out = pallas_rnn.gru_bwd(
         _pad_time(dh_out.astype(gdt or dh_out.dtype), bt),
         _pad_time(gx, bt),
         _pad_time(gh, bt), _pad_time(h_prev, bt), sW,
-        block_t=bt, reverse=reverse, grad_dtype=gdt)
+        block_t=bt, reverse=reverse, grad_dtype=gdt,
+        iW=iW, dx_dtype=dx_dtype)
+    if iW is not None:
+        dgx, dgh, d_x = out
+        return dgx[:T], dgh[:T], d_x[:T]
+    dgx, dgh = out
     return dgx[:T], dgh[:T]
 
 
@@ -391,7 +431,7 @@ def _make_gru_scan(reverse):
             h, _ = pallas_rnn.gru_fwd(
                 _pad_time(gates_x.astype(gxdt or gates_x.dtype), bt),
                 sW, block_t=bt, residual_dtype=jnp.bfloat16,
-                reverse=reverse)
+                reverse=reverse, precision=_mm_precision())
             return h[:T]
         h, _ = _gru_fwd_core(gates_x, sW, reverse)
         return h
@@ -406,7 +446,8 @@ def _make_gru_scan(reverse):
             h, gh = pallas_rnn.gru_fwd(_pad_time(gx_c, bt), sW,
                                        block_t=bt,
                                        residual_dtype=jnp.bfloat16,
-                                       reverse=reverse)
+                                       reverse=reverse,
+                                    precision=_mm_precision())
             # Residuals for the Pallas backward: gates (in their stream
             # dtype, re-read by the bwd kernel) + hidden matmuls.
             return h[:T], (h[:T], gx_c, gh[:T], sW)
@@ -457,7 +498,7 @@ def _make_gru_layer(reverse):
             h, _, _ = pallas_rnn.gru_fused_fwd(
                 _pad_time(x, bt), iW, b, sW, block_t=bt,
                 residual_dtype=jnp.bfloat16, reverse=reverse, true_len=T,
-                h_dtype=_act_stream_dtype())
+                h_dtype=_act_stream_dtype(), precision=_mm_precision())
             return h[:T]
         h, _ = _gru_fwd_core(x @ iW.T + b, sW, reverse)
         return h
@@ -472,7 +513,8 @@ def _make_gru_layer(reverse):
             h, gh, gx = pallas_rnn.gru_fused_fwd(
                 _pad_time(x, bt), iW, b, sW, block_t=bt,
                 residual_dtype=jnp.bfloat16, reverse=reverse,
-                true_len=T, h_dtype=_act_stream_dtype())
+                true_len=T, h_dtype=_act_stream_dtype(),
+                precision=_mm_precision())
             return h[:T], (x, h[:T], gx[:T], gh[:T], iW, sW)
         h, (h_, r, z, n, ghn, _) = _gru_fwd_core(x @ iW.T + b, sW, reverse)
         return h, (x, (h, r, z, n, ghn, sW), iW, sW)
@@ -480,19 +522,22 @@ def _make_gru_layer(reverse):
     def bwd(res, dh_out):
         if _use_pallas():
             x, h, gx, gh, iW, sW = res
-            dgx, dgh = _gru_dgrads_pallas(h, gx, gh, sW, dh_out, reverse)
+            dgx, dgh, d_x = _gru_dgrads_pallas(h, gx, gh, sW, dh_out,
+                                               reverse, iW=iW,
+                                               dx_dtype=x.dtype)
         else:
             x, core_res, iW, sW = res
             h = core_res[0]
             dgx, dgh = _gru_dgrads_scan(core_res, dh_out, reverse)
+            d_x = jnp.einsum("tbg,gd->tbd", dgx, iW,
+                             preferred_element_type=jnp.float32
+                             ).astype(x.dtype)
         d_sW = jnp.einsum("tbg,tbh->gh", dgh, _prev_state(h, reverse),
                           preferred_element_type=jnp.float32)
         d_iW = jnp.einsum("tbg,tbd->gd", dgx, x,
                           preferred_element_type=jnp.float32)
         d_b = jnp.sum(dgx, axis=(0, 1), dtype=jnp.float32)
-        d_x = jnp.einsum("tbg,gd->tbd", dgx, iW,
-                         preferred_element_type=jnp.float32)
-        return (d_x.astype(x.dtype), d_iW.astype(iW.dtype), d_b,
+        return (d_x, d_iW.astype(iW.dtype), d_b,
                 d_sW.astype(sW.dtype))
 
     layer_fn.defvjp(fwd, bwd)

@@ -44,6 +44,50 @@ def test_lstm_bwd_matches_scan():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_lstm_bwd_fused_dx_matches_einsum():
+    gates_x, sW = setup(4)
+    T, B, _ = gates_x.shape
+    H = sW.shape[1]
+    D = 12
+    rng = np.random.default_rng(2)
+    iW = jnp.asarray(rng.normal(size=(4 * H, D)).astype(np.float32) * 0.3)
+    h, c, pre = pallas_rnn.lstm_fwd(gates_x, sW, block_t=8, interpret=True)
+    dh_out = jnp.asarray(rng.normal(size=(T, B, H)).astype(np.float32))
+    c_prev = jnp.concatenate([jnp.zeros((1, B, H)), c[:-1]])
+    dpre_plain = pallas_rnn.lstm_bwd(dh_out, pre, c, c_prev, sW, block_t=8,
+                                     interpret=True)
+    dpre, dx = pallas_rnn.lstm_bwd(dh_out, pre, c, c_prev, sW, block_t=8,
+                                   interpret=True, iW=iW)
+    np.testing.assert_allclose(np.asarray(dpre), np.asarray(dpre_plain),
+                               rtol=1e-6, atol=1e-7)
+    dx_ref = jnp.einsum("tbg,gd->tbd", dpre_plain, iW)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_gru_bwd_fused_dx_matches_einsum():
+    gates_x, sW = setup(3)
+    T, B, _ = gates_x.shape
+    H = sW.shape[1]
+    D = 12
+    rng = np.random.default_rng(3)
+    iW = jnp.asarray(rng.normal(size=(3 * H, D)).astype(np.float32) * 0.3)
+    h, gh = pallas_rnn.gru_fwd(gates_x, sW, block_t=8, interpret=True)
+    dh_out = jnp.asarray(rng.normal(size=(T, B, H)).astype(np.float32))
+    h_prev = jnp.concatenate([jnp.zeros((1, B, H)), h[:-1]])
+    dgx_p, dgh_p = pallas_rnn.gru_bwd(dh_out, gates_x, gh, h_prev, sW,
+                                      block_t=8, interpret=True)
+    dgx, dgh, dx = pallas_rnn.gru_bwd(dh_out, gates_x, gh, h_prev, sW,
+                                      block_t=8, interpret=True, iW=iW)
+    np.testing.assert_allclose(np.asarray(dgx), np.asarray(dgx_p),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(dgh), np.asarray(dgh_p),
+                               rtol=1e-6, atol=1e-7)
+    dx_ref = jnp.einsum("tbg,gd->tbd", dgx_p, iW)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_gru_fwd_matches_scan():
     gates_x, sW = setup(3)
     h_ref, (h2, r, z, n, ghn, _) = rnn._gru_fwd_core(gates_x, sW)
