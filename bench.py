@@ -35,10 +35,13 @@ def main():
     # 4014 at bs64; bs512 exceeds the GRU-bwd kernel's VMEM even at
     # block_t=1).  Override with BENCH_BATCH for scaling probes.
     batch_size = int(os.environ.get("BENCH_BATCH", "256"))
+    # 256 is the Guppy production width; BENCH_SIZE=384 probes the
+    # reference trainer's default width (bin/_bin_argparse.py size=384)
+    size = int(os.environ.get("BENCH_SIZE", "256"))
     max_seqlen = train.max_seqlen_for_chunk(chunk_len, stride, 1.1)
 
     rng = np.random.default_rng(0)
-    net = mLstm_flipflop.network(size=256, stride=stride, winlen=19)
+    net = mLstm_flipflop.network(size=size, stride=stride, winlen=19)
     params = net.init(rng)
     opt, _ = train.make_optimizer(
         lr_max=4e-3, niteration=1000, warmup_batches=10, lr_warmup=1e-4,

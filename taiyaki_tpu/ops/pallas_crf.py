@@ -47,7 +47,7 @@ def bwd_block_t(batch_size):
 
 
 def _fwd_kernel(stay_ref, move_ref, valid_ref, fwd_out, score_out,
-                lattice_ref, fwd_carry, score_carry, *, block_t):
+                lattice_ref, fwd_carry, score_carry, *, block_t, unroll=False):
     @pl.when(pl.program_id(0) == 0)
     def _():
         valid = valid_ref[:]
@@ -75,7 +75,13 @@ def _fwd_kernel(stay_ref, move_ref, valid_ref, fwd_out, score_out,
         score_carry[:] = score_carry[:] + factor[:, 0]
         return 0
 
-    jax.lax.fori_loop(0, block_t, body, 0)
+    # statically unrolled for tiny block_t (see pallas_rnn._run_steps:
+    # removes per-iteration loop machinery; safe only for small blocks)
+    if unroll:
+        for j in range(block_t):
+            body(j, 0)
+    else:
+        jax.lax.fori_loop(0, block_t, body, 0)
 
     @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
     def _():
@@ -84,7 +90,7 @@ def _fwd_kernel(stay_ref, move_ref, valid_ref, fwd_out, score_out,
 
 
 def crf_forward(stay_all, move_all, valid, block_t=DEFAULT_BLOCK_T,
-                interpret=False, residual_dtype=None):
+                interpret=False, residual_dtype=None, unroll=False):
     """Forward lattice pass.
 
     Args:
@@ -102,7 +108,7 @@ def crf_forward(stay_all, move_all, valid, block_t=DEFAULT_BLOCK_T,
     T, B, L = stay_all.shape
     res_dt = residual_dtype or stay_all.dtype
     assert T % block_t == 0
-    kernel = functools.partial(_fwd_kernel, block_t=block_t)
+    kernel = functools.partial(_fwd_kernel, block_t=block_t, unroll=unroll)
     return pl.pallas_call(
         kernel,
         grid=(T // block_t,),
@@ -136,7 +142,7 @@ def crf_forward(stay_all, move_all, valid, block_t=DEFAULT_BLOCK_T,
 
 
 def _bwd_kernel(stay_ref, move_ref, lattice_ref, valid_ref, last_ref,
-                post_stay_ref, post_move_ref, bwd_carry, *, block_t):
+                post_stay_ref, post_move_ref, bwd_carry, *, block_t, unroll=False):
     B, L = bwd_carry.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
 
@@ -182,12 +188,18 @@ def _bwd_kernel(stay_ref, move_ref, lattice_ref, valid_ref, last_ref,
         bwd_carry[:] = jnp.where(valid, new - factor, _NEG)
         return 0
 
-    jax.lax.fori_loop(0, block_t, body, 0)
+    # statically unrolled for tiny block_t (see pallas_rnn._run_steps:
+    # removes per-iteration loop machinery; safe only for small blocks)
+    if unroll:
+        for j in range(block_t):
+            body(j, 0)
+    else:
+        jax.lax.fori_loop(0, block_t, body, 0)
 
 
 def crf_backward_posteriors(stay_all, move_all, lattice, valid, last,
                             block_t=BWD_BLOCK_T, interpret=False,
-                            out_dtype=None):
+                            out_dtype=None, unroll=False):
     """Backward pass emitting per-block transition posteriors.
 
     Args:
@@ -204,7 +216,7 @@ def crf_backward_posteriors(stay_all, move_all, lattice, valid, last,
     o_dt = out_dtype or stay_all.dtype
     assert T % block_t == 0
     ngrid = T // block_t
-    kernel = functools.partial(_bwd_kernel, block_t=block_t)
+    kernel = functools.partial(_bwd_kernel, block_t=block_t, unroll=unroll)
 
     def rev(i):
         return (ngrid - 1 - i, 0, 0)

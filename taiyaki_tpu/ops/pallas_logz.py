@@ -78,7 +78,7 @@ def _row_logsumexp(x):
 
 
 def _fwd_kernel(scores_ref, src_ref, dst_ref, fwd_out, logz_out,
-                lattice_ref, fwd_carry, logz_carry, *, block_t, nff):
+                lattice_ref, fwd_carry, logz_carry, *, block_t, nff, unroll=False):
     B = fwd_carry.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (B, LANES), 1)
 
@@ -106,7 +106,13 @@ def _fwd_kernel(scores_ref, src_ref, dst_ref, fwd_out, logz_out,
         logz_carry[:] = logz_carry[:] + factor[:, 0]
         return 0
 
-    jax.lax.fori_loop(0, block_t, body, 0)
+    # statically unrolled for tiny block_t (see pallas_rnn._run_steps:
+    # removes per-iteration loop machinery; safe only for small blocks)
+    if unroll:
+        for j in range(block_t):
+            body(j, 0)
+    else:
+        jax.lax.fori_loop(0, block_t, body, 0)
 
     @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
     def _():
@@ -114,7 +120,7 @@ def _fwd_kernel(scores_ref, src_ref, dst_ref, fwd_out, logz_out,
         logz_out[:] = logz_carry[:]
 
 
-def logz_forward(scores_p, nbase, block_t=DEFAULT_BLOCK_T, interpret=False,
+def logz_forward(scores_p, nbase, block_t=DEFAULT_BLOCK_T, interpret=False, unroll=False,
                  residual_dtype=None):
     """Forward pass.
 
@@ -133,7 +139,8 @@ def logz_forward(scores_p, nbase, block_t=DEFAULT_BLOCK_T, interpret=False,
     res_dt = residual_dtype or jnp.float32
     assert L == LANES and T % block_t == 0
     src, dst, _ = selectors(nbase)
-    kernel = functools.partial(_fwd_kernel, block_t=block_t, nff=2 * nbase)
+    kernel = functools.partial(_fwd_kernel, block_t=block_t, nff=2 * nbase,
+                               unroll=unroll)
     return pl.pallas_call(
         kernel,
         grid=(T // block_t,),
@@ -166,7 +173,7 @@ def logz_forward(scores_p, nbase, block_t=DEFAULT_BLOCK_T, interpret=False,
 
 
 def _bwd_kernel(scores_ref, lattice_ref, src_ref, dst_ref, post_ref,
-                bwd_carry, *, block_t, nff):
+                bwd_carry, *, block_t, nff, unroll=False):
     B = bwd_carry.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (B, LANES), 1)
     ntr = nff * (nff // 2 + 1)
@@ -201,10 +208,16 @@ def _bwd_kernel(scores_ref, lattice_ref, src_ref, dst_ref, post_ref,
         bwd_carry[:] = jnp.where(col < nff, new - factor, _NEG)
         return 0
 
-    jax.lax.fori_loop(0, block_t, body, 0)
+    # statically unrolled for tiny block_t (see pallas_rnn._run_steps:
+    # removes per-iteration loop machinery; safe only for small blocks)
+    if unroll:
+        for j in range(block_t):
+            body(j, 0)
+    else:
+        jax.lax.fori_loop(0, block_t, body, 0)
 
 
-def logz_backward_posteriors(scores_p, lattice, nbase,
+def logz_backward_posteriors(scores_p, lattice, nbase, unroll=False,
                              block_t=DEFAULT_BLOCK_T, interpret=False,
                              out_dtype=None):
     """Backward pass: per-block posterior over the ntrans transitions
@@ -215,7 +228,8 @@ def logz_backward_posteriors(scores_p, lattice, nbase,
     assert L == LANES and T % block_t == 0
     ngrid = T // block_t
     src, dst, _ = selectors(nbase)
-    kernel = functools.partial(_bwd_kernel, block_t=block_t, nff=2 * nbase)
+    kernel = functools.partial(_bwd_kernel, block_t=block_t, nff=2 * nbase,
+                               unroll=unroll)
 
     def rev(i):
         return (ngrid - 1 - i, 0, 0)

@@ -58,8 +58,23 @@ def _time_maps(ngrid, block_t, descending):
     return (lambda i: (i, 0, 0), lambda j: j)
 
 
+def _run_steps(body, block_t, unroll):
+    """Run the per-row time loop: rolled `fori_loop` by default, or
+    statically unrolled for tiny block_t — removes the in-kernel loop
+    machinery (measured: the sequential chains are loop-bound).  NOTE
+    unrolled bodies with inlined dots HUNG the remote Mosaic compile at
+    block_t=8; callers only unroll block_t <= 2 (verified: 1s compiles,
+    bit-identical results)."""
+    if unroll:
+        for j in range(block_t):
+            body(j, 0)
+    else:
+        jax.lax.fori_loop(0, block_t, body, 0)
+
+
 def _lstm_fwd_kernel(gx_ref, swt_ref, h_ref, c_ref, pre_ref,
-                     h_carry, c_carry, *, block_t, H, order, precision):
+                     h_carry, c_carry, *, block_t, H, order, precision,
+                     unroll=False):
     @pl.when(pl.program_id(0) == 0)
     def _():
         h_carry[:] = jnp.zeros_like(h_carry)
@@ -84,12 +99,12 @@ def _lstm_fwd_kernel(gx_ref, swt_ref, h_ref, c_ref, pre_ref,
         c_carry[:] = c2
         return 0
 
-    jax.lax.fori_loop(0, block_t, body, 0)
+    _run_steps(body, block_t, unroll)
 
 
 def lstm_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
              residual_dtype=None, reverse=False, h_dtype=None,
-             precision=None):
+             precision=None, unroll=False):
     """Fused LSTM forward.
 
     Args:
@@ -116,7 +131,8 @@ def lstm_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
     imap, order = _time_maps(ngrid, block_t, descending=reverse)
     swt = sW.T  # [H, 4H]
     kernel = functools.partial(_lstm_fwd_kernel, block_t=block_t, H=H,
-                               order=order, precision=precision)
+                               order=order, precision=precision,
+                               unroll=unroll)
     return pl.pallas_call(
         kernel,
         grid=(ngrid,),
@@ -157,7 +173,8 @@ def _emit_dx(g_ref, iwt_ref, dx_ref):
 
 
 def _lstm_bwd_kernel(dh_ref, pre_ref, c_ref, cprev_ref, sw_ref, dpre_ref,
-                     dh_carry, dc_carry, *, block_t, H, order):
+                     dh_carry, dc_carry, *, block_t, H, order,
+                     unroll=False):
     @pl.when(pl.program_id(0) == 0)
     def _():
         dh_carry[:] = jnp.zeros_like(dh_carry)
@@ -190,20 +207,21 @@ def _lstm_bwd_kernel(dh_ref, pre_ref, c_ref, cprev_ref, sw_ref, dpre_ref,
         dc_carry[:] = dc * f
         return 0
 
-    jax.lax.fori_loop(0, block_t, body, 0)
+    _run_steps(body, block_t, unroll)
 
 
 def _lstm_bwd_dx_kernel(dh_ref, pre_ref, c_ref, cprev_ref, sw_ref, iwt_ref,
                         dpre_ref, dx_ref, dh_carry, dc_carry,
-                        *, block_t, H, order):
+                        *, block_t, H, order, unroll=False):
     _lstm_bwd_kernel(dh_ref, pre_ref, c_ref, cprev_ref, sw_ref, dpre_ref,
-                     dh_carry, dc_carry, block_t=block_t, H=H, order=order)
+                     dh_carry, dc_carry, block_t=block_t, H=H, order=order,
+                     unroll=unroll)
     _emit_dx(dpre_ref, iwt_ref, dx_ref)
 
 
 def lstm_bwd(dh_out, pre, c, c_prev, sW, block_t=DEFAULT_BLOCK_T,
              interpret=False, reverse=False, grad_dtype=None,
-             iW=None, dx_dtype=None):
+             iW=None, dx_dtype=None, unroll=False):
     """Fused LSTM backward: per-step gate gradients dpre [T,B,4H].
 
     `reverse` is the FORWARD direction of the layer; the gradient chain
@@ -223,7 +241,8 @@ def lstm_bwd(dh_out, pre, c, c_prev, sW, block_t=DEFAULT_BLOCK_T,
     imap, order = _time_maps(ngrid, block_t, descending=not reverse)
     with_dx = iW is not None
     kfn = _lstm_bwd_dx_kernel if with_dx else _lstm_bwd_kernel
-    kernel = functools.partial(kfn, block_t=block_t, H=H, order=order)
+    kernel = functools.partial(kfn, block_t=block_t, H=H, order=order,
+                               unroll=unroll)
 
     in_specs = [
         pl.BlockSpec((block_t, B, H), imap, memory_space=pltpu.VMEM),
@@ -305,7 +324,7 @@ def _lstm_fused_fwd_kernel(x_ref, iwt_ref, b_ref, swt_ref,
                            h_ref, c_ref, pre_ref,
                            h_carry, c_carry, gx_scratch,
                            *, block_t, H, T, ngrid, descending, order,
-                           precision):
+                           precision, unroll=False):
     @pl.when(pl.program_id(0) == 0)
     def _():
         h_carry[:] = jnp.zeros_like(h_carry)
@@ -334,12 +353,12 @@ def _lstm_fused_fwd_kernel(x_ref, iwt_ref, b_ref, swt_ref,
         c_carry[:] = c2
         return 0
 
-    jax.lax.fori_loop(0, block_t, body, 0)
+    _run_steps(body, block_t, unroll)
 
 
 def lstm_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
                    residual_dtype=None, reverse=False, true_len=None,
-                   h_dtype=None, precision=None):
+                   h_dtype=None, precision=None, unroll=False):
     """Fused gates+time LSTM forward.
 
     Args:
@@ -367,7 +386,8 @@ def lstm_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
     kernel = functools.partial(
         _lstm_fused_fwd_kernel, block_t=block_t, H=H,
         T=(Tp if true_len is None else true_len), ngrid=ngrid,
-        descending=reverse, order=order, precision=precision)
+        descending=reverse, order=order, precision=precision,
+        unroll=unroll)
     return pl.pallas_call(
         kernel,
         grid=(ngrid,),
@@ -402,7 +422,7 @@ def lstm_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
 def _gru_fused_fwd_kernel(x_ref, iwt_ref, b_ref, swt_ref,
                           h_ref, gh_ref, gx_ref, h_carry, gx_scratch,
                           *, block_t, H, T, ngrid, descending, order,
-                          precision):
+                          precision, unroll=False):
     @pl.when(pl.program_id(0) == 0)
     def _():
         h_carry[:] = jnp.zeros_like(h_carry)
@@ -426,12 +446,12 @@ def _gru_fused_fwd_kernel(x_ref, iwt_ref, b_ref, swt_ref,
         h_carry[:] = h2
         return 0
 
-    jax.lax.fori_loop(0, block_t, body, 0)
+    _run_steps(body, block_t, unroll)
 
 
 def gru_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
                   residual_dtype=None, reverse=False, true_len=None,
-                  h_dtype=None, precision=None):
+                  h_dtype=None, precision=None, unroll=False):
     """Fused gates+time GRU forward -> (h [T,B,H] f32, gh, gx in
     residual_dtype).  The gate stream gx is emitted because the GRU
     backward re-reads it (unlike the LSTM, whose pre already folds it
@@ -446,7 +466,8 @@ def gru_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
     kernel = functools.partial(
         _gru_fused_fwd_kernel, block_t=block_t, H=H,
         T=(Tp if true_len is None else true_len), ngrid=ngrid,
-        descending=reverse, order=order, precision=precision)
+        descending=reverse, order=order, precision=precision,
+        unroll=unroll)
     return pl.pallas_call(
         kernel,
         grid=(ngrid,),
@@ -480,7 +501,7 @@ def gru_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
 # -- GRU ---------------------------------------------------------------------
 
 def _gru_fwd_kernel(gx_ref, swt_ref, h_ref, gh_ref, h_carry,
-                    *, block_t, H, order, precision):
+                    *, block_t, H, order, precision, unroll=False):
     @pl.when(pl.program_id(0) == 0)
     def _():
         h_carry[:] = jnp.zeros_like(h_carry)
@@ -500,12 +521,12 @@ def _gru_fwd_kernel(gx_ref, swt_ref, h_ref, gh_ref, h_carry,
         h_carry[:] = h2
         return 0
 
-    jax.lax.fori_loop(0, block_t, body, 0)
+    _run_steps(body, block_t, unroll)
 
 
 def gru_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
             residual_dtype=None, reverse=False, h_dtype=None,
-            precision=None):
+            precision=None, unroll=False):
     """Fused GRU forward -> (h [T,B,H], gh [T,B,3H]); gh (a backward
     residual) is stored in residual_dtype.  `reverse` runs the recurrence
     backwards in time (grid walked descending; outputs in natural order)."""
@@ -516,7 +537,8 @@ def gru_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
     ngrid = T // block_t
     imap, order = _time_maps(ngrid, block_t, descending=reverse)
     kernel = functools.partial(_gru_fwd_kernel, block_t=block_t, H=H,
-                               order=order, precision=precision)
+                               order=order, precision=precision,
+                               unroll=unroll)
     return pl.pallas_call(
         kernel,
         grid=(ngrid,),
@@ -539,7 +561,8 @@ def gru_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
 
 
 def _gru_bwd_kernel(dh_ref, gx_ref, gh_ref, hprev_ref, sw_ref,
-                    dgx_ref, dgh_ref, dh_carry, *, block_t, H, order):
+                    dgx_ref, dgh_ref, dh_carry, *, block_t, H, order,
+                    unroll=False):
     @pl.when(pl.program_id(0) == 0)
     def _():
         dh_carry[:] = jnp.zeros_like(dh_carry)
@@ -570,21 +593,21 @@ def _gru_bwd_kernel(dh_ref, gx_ref, gh_ref, hprev_ref, sw_ref,
                        + dh * z)
         return 0
 
-    jax.lax.fori_loop(0, block_t, body, 0)
+    _run_steps(body, block_t, unroll)
 
 
 def _gru_bwd_dx_kernel(dh_ref, gx_ref, gh_ref, hprev_ref, sw_ref, iwt_ref,
                        dgx_ref, dgh_ref, dx_ref, dh_carry,
-                       *, block_t, H, order):
+                       *, block_t, H, order, unroll=False):
     _gru_bwd_kernel(dh_ref, gx_ref, gh_ref, hprev_ref, sw_ref,
                     dgx_ref, dgh_ref, dh_carry,
-                    block_t=block_t, H=H, order=order)
+                    block_t=block_t, H=H, order=order, unroll=unroll)
     _emit_dx(dgx_ref, iwt_ref, dx_ref)
 
 
 def gru_bwd(dh_out, gates_x, gh, h_prev, sW, block_t=DEFAULT_BLOCK_T,
             interpret=False, reverse=False, grad_dtype=None,
-            iW=None, dx_dtype=None):
+            iW=None, dx_dtype=None, unroll=False):
     """Fused GRU backward -> (dgx [T,B,3H], dgh [T,B,3H]).
 
     `reverse` is the FORWARD direction of the layer; the gradient chain
@@ -602,7 +625,8 @@ def gru_bwd(dh_out, gates_x, gh, h_prev, sW, block_t=DEFAULT_BLOCK_T,
     imap, order = _time_maps(ngrid, block_t, descending=not reverse)
     with_dx = iW is not None
     kfn = _gru_bwd_dx_kernel if with_dx else _gru_bwd_kernel
-    kernel = functools.partial(kfn, block_t=block_t, H=H, order=order)
+    kernel = functools.partial(kfn, block_t=block_t, H=H, order=order,
+                               unroll=unroll)
 
     gdt = grad_dtype or dh_out.dtype
     in_specs = [

@@ -174,7 +174,8 @@ def _lstm_fwd_pallas(gates_x, sW, reverse):
     h, c, pre = pallas_rnn.lstm_fwd(gx, sW, block_t=bt,
                                     residual_dtype=jnp.bfloat16,
                                     reverse=reverse,
-                                    precision=_mm_precision())
+                                    precision=_mm_precision(),
+                                    unroll=bt <= 2)
     return h[:T], c[:T], pre[:T]
 
 
@@ -197,7 +198,7 @@ def _lstm_dpre(h, c, pre, sW, dh_out, reverse, iW=None, dx_dtype=None):
             _pad_time(pre, bt),
             _pad_time(c, bt), _pad_time(c_prev, bt), sW,
             block_t=bt, reverse=reverse, grad_dtype=gdt,
-            iW=iW, dx_dtype=dx_dtype)
+            iW=iW, dx_dtype=dx_dtype, unroll=bt <= 2)
         if iW is not None:
             dpre, d_x = out
             return dpre[:T], d_x[:T]
@@ -299,7 +300,8 @@ def _make_lstm_layer(reverse):
             h, _, _ = pallas_rnn.lstm_fused_fwd(
                 _pad_time(x, bt), iW, b, sW, block_t=bt,
                 residual_dtype=jnp.bfloat16, reverse=reverse, true_len=T,
-                h_dtype=_act_stream_dtype(), precision=_mm_precision())
+                h_dtype=_act_stream_dtype(), precision=_mm_precision(),
+                unroll=bt <= 2)
             return h[:T]
         h, _ = _lstm_fwd_core(x @ iW.T + b, sW, reverse)
         return h
@@ -313,7 +315,7 @@ def _make_lstm_layer(reverse):
                 _pad_time(x, bt), iW, b, sW, block_t=bt,
                 residual_dtype=jnp.bfloat16, reverse=reverse,
                 true_len=T, h_dtype=_act_stream_dtype(),
-                precision=_mm_precision())
+                precision=_mm_precision(), unroll=bt <= 2)
             return h[:T], (x, h[:T], c[:T], pre[:T], iW, sW)
         h, (h_, c, pre, _) = _lstm_fwd_core(x @ iW.T + b, sW, reverse)
         return h, (x, h, c, pre, iW, sW)
@@ -411,7 +413,7 @@ def _gru_dgrads_pallas(h, gx, gh, sW, dh_out, reverse, iW=None,
         _pad_time(gx, bt),
         _pad_time(gh, bt), _pad_time(h_prev, bt), sW,
         block_t=bt, reverse=reverse, grad_dtype=gdt,
-        iW=iW, dx_dtype=dx_dtype)
+        iW=iW, dx_dtype=dx_dtype, unroll=bt <= 2)
     if iW is not None:
         dgx, dgh, d_x = out
         return dgx[:T], dgh[:T], d_x[:T]
@@ -431,7 +433,8 @@ def _make_gru_scan(reverse):
             h, _ = pallas_rnn.gru_fwd(
                 _pad_time(gates_x.astype(gxdt or gates_x.dtype), bt),
                 sW, block_t=bt, residual_dtype=jnp.bfloat16,
-                reverse=reverse, precision=_mm_precision())
+                reverse=reverse, precision=_mm_precision(),
+                unroll=bt <= 2)
             return h[:T]
         h, _ = _gru_fwd_core(gates_x, sW, reverse)
         return h
@@ -447,7 +450,8 @@ def _make_gru_scan(reverse):
                                        block_t=bt,
                                        residual_dtype=jnp.bfloat16,
                                        reverse=reverse,
-                                    precision=_mm_precision())
+                                       precision=_mm_precision(),
+                                       unroll=bt <= 2)
             # Residuals for the Pallas backward: gates (in their stream
             # dtype, re-read by the bwd kernel) + hidden matmuls.
             return h[:T], (h[:T], gx_c, gh[:T], sW)
@@ -498,7 +502,8 @@ def _make_gru_layer(reverse):
             h, _, _ = pallas_rnn.gru_fused_fwd(
                 _pad_time(x, bt), iW, b, sW, block_t=bt,
                 residual_dtype=jnp.bfloat16, reverse=reverse, true_len=T,
-                h_dtype=_act_stream_dtype(), precision=_mm_precision())
+                h_dtype=_act_stream_dtype(), precision=_mm_precision(),
+                unroll=bt <= 2)
             return h[:T]
         h, _ = _gru_fwd_core(x @ iW.T + b, sW, reverse)
         return h
@@ -514,7 +519,7 @@ def _make_gru_layer(reverse):
                 _pad_time(x, bt), iW, b, sW, block_t=bt,
                 residual_dtype=jnp.bfloat16, reverse=reverse,
                 true_len=T, h_dtype=_act_stream_dtype(),
-                precision=_mm_precision())
+                precision=_mm_precision(), unroll=bt <= 2)
             return h[:T], (x, h[:T], gx[:T], gh[:T], iW, sW)
         h, (h_, r, z, n, ghn, _) = _gru_fwd_core(x @ iW.T + b, sW, reverse)
         return h, (x, (h, r, z, n, ghn, sW), iW, sW)
