@@ -105,8 +105,8 @@ def main():
     print(json.dumps({
         "metric": "train_chunks_per_sec",
         "value": round(chunks_per_sec, 3),
-        "unit": "chunks/s (mLstm256 s5 chunk4000 bs{}, full train "
-                "step)".format(batch_size),
+        "unit": "chunks/s (mLstm{} s5 chunk4000 bs{}, full train "
+                "step)".format(size, batch_size),
         "vs_baseline": vs_baseline,
     }))
 

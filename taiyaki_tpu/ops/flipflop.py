@@ -193,7 +193,7 @@ def _forward_scores(lp, stay_idx, move_idx, modmove_idx, modmove_fact,
         # lattice is a gradient-only residual: bf16 halves its HBM stream
         fwd_final, score, lattice = pallas_crf.crf_forward(
             stay_p, move_p, valid_p, block_t=bt,
-            residual_dtype=jnp.bfloat16, unroll=bt <= 2)
+            residual_dtype=jnp.bfloat16, unroll=True)
         last = jnp.clip(seqlens - 1, 0, npos - 1)
         score = score + jnp.take_along_axis(
             fwd_final[:, :npos], last[:, None], axis=1)[:, 0]
@@ -249,12 +249,11 @@ def _grad_scores(lp, stay_idx, move_idx, modmove_idx, modmove_fact, seqlens):
         bt = pallas_crf.fwd_block_t(nbatch)
         stay_p, move_p, valid_p = _pallas_lattice_inputs(
             stay_all, move_all, valid, bt)
-        bwd_bt = pallas_crf.bwd_block_t(nbatch)
         post_stay, post_move = pallas_crf.crf_backward_posteriors(
             stay_p, move_p, fwd_lattice, valid_p,
             last[:, None].astype(jnp.int32),
-            block_t=bwd_bt, out_dtype=jnp.bfloat16,
-            unroll=bwd_bt <= 2)
+            block_t=pallas_crf.bwd_block_t(nbatch),
+            out_dtype=jnp.bfloat16, unroll=True)
         post_stay = post_stay[:nblk, :, :npos]
         post_move = post_move[:nblk, :, :npos - 1]
         grad = (jnp.einsum("tbl,bls->tbs", post_stay, sel_stay,
@@ -477,7 +476,7 @@ def _logz_pallas_fwd(scores):
     # lattice is a gradient-only residual: bf16 halves its HBM stream
     _, logz, lattice = pallas_logz.logz_forward(
         scores_p, nbase, block_t=bt, residual_dtype=jnp.bfloat16,
-        unroll=bt <= 2)
+        unroll=True)
     # kernel starts from a renormalized initial state; the scan version
     # counts the initial logsumexp(init) = log(nbase) in its total
     logz = logz + jnp.log(float(nbase))
@@ -491,7 +490,7 @@ def _logz_pallas_bwd(res, g):
     post = pallas_logz.logz_backward_posteriors(scores_p, lattice, nbase,
                                                 block_t=bt,
                                                 out_dtype=jnp.bfloat16,
-                                                unroll=bt <= 2)
+                                                unroll=True)
     return (post[:nblk, :, :ntrans].astype(jnp.float32)
             * g[None, :, None],)
 

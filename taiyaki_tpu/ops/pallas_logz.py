@@ -24,6 +24,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from taiyaki_tpu.ops.pallas_rnn import _run_steps
+
 _NEG = -1e30
 LANES = 128
 DEFAULT_BLOCK_T = 32
@@ -106,13 +108,7 @@ def _fwd_kernel(scores_ref, src_ref, dst_ref, fwd_out, logz_out,
         logz_carry[:] = logz_carry[:] + factor[:, 0]
         return 0
 
-    # statically unrolled for tiny block_t (see pallas_rnn._run_steps:
-    # removes per-iteration loop machinery; safe only for small blocks)
-    if unroll:
-        for j in range(block_t):
-            body(j, 0)
-    else:
-        jax.lax.fori_loop(0, block_t, body, 0)
+    _run_steps(body, block_t, unroll)
 
     @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
     def _():
@@ -120,8 +116,8 @@ def _fwd_kernel(scores_ref, src_ref, dst_ref, fwd_out, logz_out,
         logz_out[:] = logz_carry[:]
 
 
-def logz_forward(scores_p, nbase, block_t=DEFAULT_BLOCK_T, interpret=False, unroll=False,
-                 residual_dtype=None):
+def logz_forward(scores_p, nbase, block_t=DEFAULT_BLOCK_T, interpret=False,
+                 residual_dtype=None, unroll=False):
     """Forward pass.
 
     Args:
@@ -208,18 +204,12 @@ def _bwd_kernel(scores_ref, lattice_ref, src_ref, dst_ref, post_ref,
         bwd_carry[:] = jnp.where(col < nff, new - factor, _NEG)
         return 0
 
-    # statically unrolled for tiny block_t (see pallas_rnn._run_steps:
-    # removes per-iteration loop machinery; safe only for small blocks)
-    if unroll:
-        for j in range(block_t):
-            body(j, 0)
-    else:
-        jax.lax.fori_loop(0, block_t, body, 0)
+    _run_steps(body, block_t, unroll)
 
 
-def logz_backward_posteriors(scores_p, lattice, nbase, unroll=False,
+def logz_backward_posteriors(scores_p, lattice, nbase,
                              block_t=DEFAULT_BLOCK_T, interpret=False,
-                             out_dtype=None):
+                             out_dtype=None, unroll=False):
     """Backward pass: per-block posterior over the ntrans transitions
     (= d(logZ)/d(scores), rows beyond the true T are garbage and must be
     sliced off by the caller)."""

@@ -58,14 +58,19 @@ def _time_maps(ngrid, block_t, descending):
     return (lambda i: (i, 0, 0), lambda j: j)
 
 
+# Unrolled bodies with inlined dots HUNG the remote Mosaic compile at
+# block_t=8; unrolling is verified safe (1s compiles, bit-identical
+# results) only for 1-2 iteration loops.
+MAX_UNROLL_BLOCK_T = 2
+
+
 def _run_steps(body, block_t, unroll):
-    """Run the per-row time loop: rolled `fori_loop` by default, or
-    statically unrolled for tiny block_t — removes the in-kernel loop
-    machinery (measured: the sequential chains are loop-bound).  NOTE
-    unrolled bodies with inlined dots HUNG the remote Mosaic compile at
-    block_t=8; callers only unroll block_t <= 2 (verified: 1s compiles,
-    bit-identical results)."""
-    if unroll:
+    """Run the per-row time loop.  `unroll=True` means "statically
+    unroll if safe": loops of <= MAX_UNROLL_BLOCK_T iterations are
+    emitted inline (removing per-iteration loop machinery), longer ones
+    always stay a rolled `fori_loop` — the guard lives HERE so no call
+    site can request a compile-hanging unroll."""
+    if unroll and block_t <= MAX_UNROLL_BLOCK_T:
         for j in range(block_t):
             body(j, 0)
     else:
@@ -258,9 +263,9 @@ def lstm_bwd(dh_out, pre, c, c_prev, sW, block_t=DEFAULT_BLOCK_T,
     args = [dh_out, pre, c, c_prev, sW]
     if with_dx:
         D = iW.shape[1]
-        # dot operand dtypes match what the outside einsum would have
-        # seen: the STORED (grad_dtype) dpre against iW cast to the same
-        args.append(iW.astype(out_shape.dtype))
+        # iW stays in its own (f32) dtype like the removed einsum's
+        # operand; the stored (grad_dtype) dpre supplies the other side
+        args.append(iW)
         in_specs.append(pl.BlockSpec((H4, D), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
         out_specs = [out_specs,
@@ -648,7 +653,7 @@ def gru_bwd(dh_out, gates_x, gh, h_prev, sW, block_t=DEFAULT_BLOCK_T,
     args = [dh_out, gates_x, gh, h_prev, sW]
     if with_dx:
         D = iW.shape[1]
-        args.append(iW.astype(gdt))
+        args.append(iW)
         in_specs.append(pl.BlockSpec((H3, D), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
         out_specs.append(pl.BlockSpec((block_t, B, D), imap,

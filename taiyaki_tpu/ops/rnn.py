@@ -175,7 +175,7 @@ def _lstm_fwd_pallas(gates_x, sW, reverse):
                                     residual_dtype=jnp.bfloat16,
                                     reverse=reverse,
                                     precision=_mm_precision(),
-                                    unroll=bt <= 2)
+                                    unroll=True)
     return h[:T], c[:T], pre[:T]
 
 
@@ -198,7 +198,7 @@ def _lstm_dpre(h, c, pre, sW, dh_out, reverse, iW=None, dx_dtype=None):
             _pad_time(pre, bt),
             _pad_time(c, bt), _pad_time(c_prev, bt), sW,
             block_t=bt, reverse=reverse, grad_dtype=gdt,
-            iW=iW, dx_dtype=dx_dtype, unroll=bt <= 2)
+            iW=iW, dx_dtype=dx_dtype, unroll=True)
         if iW is not None:
             dpre, d_x = out
             return dpre[:T], d_x[:T]
@@ -301,7 +301,7 @@ def _make_lstm_layer(reverse):
                 _pad_time(x, bt), iW, b, sW, block_t=bt,
                 residual_dtype=jnp.bfloat16, reverse=reverse, true_len=T,
                 h_dtype=_act_stream_dtype(), precision=_mm_precision(),
-                unroll=bt <= 2)
+                unroll=True)
             return h[:T]
         h, _ = _lstm_fwd_core(x @ iW.T + b, sW, reverse)
         return h
@@ -315,7 +315,7 @@ def _make_lstm_layer(reverse):
                 _pad_time(x, bt), iW, b, sW, block_t=bt,
                 residual_dtype=jnp.bfloat16, reverse=reverse,
                 true_len=T, h_dtype=_act_stream_dtype(),
-                precision=_mm_precision(), unroll=bt <= 2)
+                precision=_mm_precision(), unroll=True)
             return h[:T], (x, h[:T], c[:T], pre[:T], iW, sW)
         h, (h_, c, pre, _) = _lstm_fwd_core(x @ iW.T + b, sW, reverse)
         return h, (x, h, c, pre, iW, sW)
@@ -413,7 +413,7 @@ def _gru_dgrads_pallas(h, gx, gh, sW, dh_out, reverse, iW=None,
         _pad_time(gx, bt),
         _pad_time(gh, bt), _pad_time(h_prev, bt), sW,
         block_t=bt, reverse=reverse, grad_dtype=gdt,
-        iW=iW, dx_dtype=dx_dtype, unroll=bt <= 2)
+        iW=iW, dx_dtype=dx_dtype, unroll=True)
     if iW is not None:
         dgx, dgh, d_x = out
         return dgx[:T], dgh[:T], d_x[:T]
@@ -434,7 +434,7 @@ def _make_gru_scan(reverse):
                 _pad_time(gates_x.astype(gxdt or gates_x.dtype), bt),
                 sW, block_t=bt, residual_dtype=jnp.bfloat16,
                 reverse=reverse, precision=_mm_precision(),
-                unroll=bt <= 2)
+                unroll=True)
             return h[:T]
         h, _ = _gru_fwd_core(gates_x, sW, reverse)
         return h
@@ -451,7 +451,7 @@ def _make_gru_scan(reverse):
                                        residual_dtype=jnp.bfloat16,
                                        reverse=reverse,
                                        precision=_mm_precision(),
-                                       unroll=bt <= 2)
+                                       unroll=True)
             # Residuals for the Pallas backward: gates (in their stream
             # dtype, re-read by the bwd kernel) + hidden matmuls.
             return h[:T], (h[:T], gx_c, gh[:T], sW)
@@ -503,7 +503,7 @@ def _make_gru_layer(reverse):
                 _pad_time(x, bt), iW, b, sW, block_t=bt,
                 residual_dtype=jnp.bfloat16, reverse=reverse, true_len=T,
                 h_dtype=_act_stream_dtype(), precision=_mm_precision(),
-                unroll=bt <= 2)
+                unroll=True)
             return h[:T]
         h, _ = _gru_fwd_core(x @ iW.T + b, sW, reverse)
         return h
@@ -519,7 +519,7 @@ def _make_gru_layer(reverse):
                 _pad_time(x, bt), iW, b, sW, block_t=bt,
                 residual_dtype=jnp.bfloat16, reverse=reverse,
                 true_len=T, h_dtype=_act_stream_dtype(),
-                precision=_mm_precision(), unroll=bt <= 2)
+                precision=_mm_precision(), unroll=True)
             return h[:T], (x, h[:T], gx[:T], gh[:T], iW, sW)
         h, (h_, r, z, n, ghn, _) = _gru_fwd_core(x @ iW.T + b, sW, reverse)
         return h, (x, (h, r, z, n, ghn, sW), iW, sW)

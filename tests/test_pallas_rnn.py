@@ -65,6 +65,47 @@ def test_lstm_bwd_fused_dx_matches_einsum():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_lstm_unrolled_block_matches_rolled():
+    """The statically-unrolled branch (what production block_t<=2 takes)
+    must match the rolled fori_loop bit for bit, fwd and bwd, in the
+    bf16-stream configuration the bs>=256 training step uses."""
+    gates_x, sW = setup(4)
+    T, B, _ = gates_x.shape
+    H = sW.shape[1]
+    rng = np.random.default_rng(7)
+    iW = jnp.asarray(rng.normal(size=(4 * H, 8)).astype(np.float32) * 0.3)
+    kw = dict(block_t=2, interpret=True, residual_dtype=jnp.bfloat16)
+    h1, c1, p1 = pallas_rnn.lstm_fwd(gates_x, sW, **kw)
+    h2, c2, p2 = pallas_rnn.lstm_fwd(gates_x, sW, unroll=True, **kw)
+    for a, b in [(h1, h2), (c1, c2), (p1, p2)]:
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    dh = jnp.asarray(rng.normal(size=(T, B, H)).astype(np.float32)
+                     ).astype(jnp.bfloat16)
+    cp = jnp.concatenate([jnp.zeros((1, B, H), c1.dtype), c1[:-1]])
+    bkw = dict(block_t=2, interpret=True, grad_dtype=jnp.bfloat16, iW=iW)
+    d1, x1 = pallas_rnn.lstm_bwd(dh, p1, c1, cp, sW, **bkw)
+    d2, x2 = pallas_rnn.lstm_bwd(dh, p1, c1, cp, sW, unroll=True, **bkw)
+    # interpret mode compiles rolled vs unrolled loops through different
+    # XLA-CPU fusions, so values landing on bf16 rounding boundaries can
+    # store one ulp apart (~3e-5 here); the real-TPU A/B is bit-identical
+    np.testing.assert_allclose(np.asarray(d1.astype(jnp.float32)),
+                               np.asarray(d2.astype(jnp.float32)),
+                               atol=1e-4, rtol=0)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2),
+                               atol=1e-4, rtol=0)
+
+
+def test_unroll_guard_ignores_unsafe_block():
+    """unroll=True at block_t>MAX_UNROLL_BLOCK_T must fall back to the
+    rolled loop (the Mosaic-hang guard lives inside _run_steps)."""
+    gates_x, sW = setup(4)
+    h1, c1, p1 = pallas_rnn.lstm_fwd(gates_x, sW, block_t=8,
+                                     interpret=True)
+    h2, c2, p2 = pallas_rnn.lstm_fwd(gates_x, sW, block_t=8,
+                                     interpret=True, unroll=True)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+
+
 def test_gru_bwd_fused_dx_matches_einsum():
     gates_x, sW = setup(3)
     T, B, _ = gates_x.shape
