@@ -34,6 +34,30 @@ def load_fasta(path):
 
 @pytest.mark.skipif(not os.path.isdir(READS_DIR),
                     reason="reference fixtures not present")
+def test_basecall_sharded_matches_single_device(tmp_path):
+    """Multi-device basecalling (chunk batch sharded over a ('data',)
+    mesh — the SPMD replacement for the reference's one-model-per-GPU
+    worker pool) must be bit-identical to single-device calling."""
+    outs = {}
+    for tag, ndev_args in [("one", ["--ndevices", "1"]), ("all", [])]:
+        out = str(tmp_path / ("calls_%s.fa" % tag))
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=8")
+        result = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bin", "basecall.py"),
+             "--device", "cpu", "--output", out,
+             "--max_concurrent_chunks", "8", "--quiet"]
+            + ndev_args + [READS_DIR, MODEL],
+            capture_output=True, text=True, env=env, timeout=900)
+        assert result.returncode == 0, result.stderr[-2000:]
+        if tag == "all":
+            assert "Sharding chunk batches over 8 devices" in result.stderr
+        outs[tag] = load_fasta(out)
+    assert outs["one"] == outs["all"]
+
+
+@pytest.mark.skipif(not os.path.isdir(READS_DIR),
+                    reason="reference fixtures not present")
 def test_basecall_cli_matches_reference_chain(tmp_path):
     out = str(tmp_path / "calls.fa")
     env = dict(os.environ, JAX_PLATFORMS="cpu")
