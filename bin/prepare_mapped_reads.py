@@ -22,7 +22,7 @@ def get_parser():
                     "by remapping with flip-flop model",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     add_common_command_args(
-        parser, ("alphabet input_folder input_strand_list jobs limit "
+        parser, ("alphabet device input_folder input_strand_list jobs limit "
                  "overwrite recursive version").split())
     parser.add_argument(
         "--localpen", metavar="penalty", default=0.0, type=float,
@@ -63,14 +63,15 @@ def main():
         sys.exit(1)
 
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     from taiyaki_tpu import alphabet, bio
     from taiyaki_tpu.data import fast5utils
     from taiyaki_tpu.iterators import imap_mp
     from taiyaki_tpu.prepare_mapping_funcs import (
-        generate_output_from_results, get_per_read_params_dict_from_tsv,
-        oneread_remap)
+        batched_remap_results, generate_output_from_results,
+        get_per_read_params_dict_from_tsv, oneread_remap)
     from taiyaki_tpu.utils import helpers
 
     modified_bases = [elt[0] for elt in args.mod]
@@ -120,14 +121,21 @@ def main():
         for fn, read_id in fast5_reads:
             yield fn, read_id, references.get(read_id, None)
 
-    if args.limit is not None:
-        chunksize = int(np.clip(args.limit // (2 * args.jobs), 1, 50))
+    if args.device != "cpu":
+        # Accelerator path: one process drives the chip with batched,
+        # length-bucketed forwards; --jobs sizes the IO thread pool.
+        # (The reference's GPU path runs one model per worker process;
+        # taiyaki/prepare_mapping_funcs.py `device` arg.)
+        results = batched_remap_results(
+            iter_jobs(), io_threads=args.jobs, **kwargs)
     else:
-        chunksize = 50
-
-    results = imap_mp(
-        oneread_remap, iter_jobs(), threads=args.jobs, fix_kwargs=kwargs,
-        unordered=True, chunksize=chunksize)
+        if args.limit is not None:
+            chunksize = int(np.clip(args.limit // (2 * args.jobs), 1, 50))
+        else:
+            chunksize = 50
+        results = imap_mp(
+            oneread_remap, iter_jobs(), threads=args.jobs,
+            fix_kwargs=kwargs, unordered=True, chunksize=chunksize)
     generate_output_from_results(
         results, args.output, alphabet_info,
         batch_format=args.batch_format)

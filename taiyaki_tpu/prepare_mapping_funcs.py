@@ -62,21 +62,11 @@ class RemapWorkerState:
 _WORKER_STATE = RemapWorkerState()
 
 
-def oneread_remap(read_tuple, net, params, per_read_params_dict,
-                  alphabet_info, max_read_length, localpen=0.0):
-    """Remap one read (worker function for imap_mp).
-
-    Args:
-        read_tuple: (filename, read_id, read reference string or None).
-        net/params: remapping network and its parameters.
-        per_read_params_dict: read_id -> {trim_start, trim_end, shift,
-            scale}.
-        alphabet_info: full (possibly modified-base) alphabet.
-        max_read_length: skip reads with references longer than this.
-        localpen: local-alignment penalty (0.0 = local).
+def stage_read(read_tuple, per_read_params_dict, max_read_length):
+    """Host IO half of remapping: validate + load + standardize signal.
 
     Returns:
-        (read dict or None, RemapResult or error string)
+        (staged dict, None) on success, else (None, RemapResult).
     """
     filename, read_id, read_ref = read_tuple
     if read_ref is None:
@@ -94,15 +84,17 @@ def oneread_remap(read_tuple, net, params, per_read_params_dict,
             sig = signal_mod.Signal(read, read_params=read_params)
     except Exception:
         return None, RemapResult.READ_ID_INFO_NOT_FOUND
+    return {
+        "sig": sig,
+        "current": sig.standardized_current.astype(np.float32),
+        "read_ref": read_ref,
+    }, None
 
-    stride = net.stride
-    try:
-        transweights = _WORKER_STATE.forward(
-            net, params, sig.standardized_current.astype(np.float32),
-            stride)
-    except Exception:
-        return None, RemapResult.NETWORK_ERROR
 
+def finish_remap(staged, transweights, alphabet_info, stride, localpen):
+    """Post-forward half: glocal Viterbi vs the collapsed reference ->
+    SignalMapping read dict."""
+    read_ref = staged["read_ref"]
     can_read_ref = alphabet_info.collapse_sequence(read_ref)
     _, path = flipflop_remap.flipflop_remap(
         transweights, can_read_ref, alphabet=alphabet_info.can_bases,
@@ -111,11 +103,108 @@ def oneread_remap(read_tuple, net, params, per_read_params_dict,
     int_ref = signal_mapping.SignalMapping.get_integer_reference(
         read_ref, alphabet_info.alphabet)
     sig_mapping = signal_mapping.SignalMapping.from_remapping_path(
-        path, int_ref, stride, sig)
+        path, int_ref, stride, staged["sig"])
     try:
         return sig_mapping.get_read_dictionary(), RemapResult.SUCCESS
     except signal_mapping.TaiyakiSigMapError as e:
         return None, str(e)
+
+
+def oneread_remap(read_tuple, net, params, per_read_params_dict,
+                  alphabet_info, max_read_length, localpen=0.0):
+    """Remap one read (worker function for imap_mp).
+
+    Args:
+        read_tuple: (filename, read_id, read reference string or None).
+        net/params: remapping network and its parameters.
+        per_read_params_dict: read_id -> {trim_start, trim_end, shift,
+            scale}.
+        alphabet_info: full (possibly modified-base) alphabet.
+        max_read_length: skip reads with references longer than this.
+        localpen: local-alignment penalty (0.0 = local).
+
+    Returns:
+        (read dict or None, RemapResult or error string)
+    """
+    staged, err = stage_read(read_tuple, per_read_params_dict,
+                             max_read_length)
+    if staged is None:
+        return None, err
+
+    stride = net.stride
+    try:
+        transweights = _WORKER_STATE.forward(
+            net, params, staged["current"], stride)
+    except Exception:
+        return None, RemapResult.NETWORK_ERROR
+    return finish_remap(staged, transweights, alphabet_info, stride,
+                        localpen)
+
+
+def batched_remap_results(read_tuples, net, params, per_read_params_dict,
+                          alphabet_info, max_read_length, localpen=0.0,
+                          batch_size=8, io_threads=4):
+    """Remap reads with BATCHED on-device forwards (accelerator path).
+
+    The reference remaps one read per GPU worker (taiyaki/
+    prepare_mapping_funcs.py, `device` arg); on TPU one process drives
+    the chip, so instead reads are staged by an IO thread pool, grouped
+    into per-length-bucket pools (signals padded to LEN_BUCKET multiples
+    keep shapes static -> one XLA compile per bucket), forwarded
+    `batch_size` at a time, and finished (host Viterbi remap) in stream
+    order.  Yields (read dict or None, RemapResult or error string) like
+    imap_mp(oneread_remap, ...).
+
+    Mappings agree with the per-read path except at near-tie Viterbi
+    boundaries (<1% of positions), which can shift by several blocks
+    where the scores plateau (signal stalls): XLA tiles (and therefore
+    rounds) a [L, 8, 1] forward differently from [L, 1, 1], on any
+    backend.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+    import jax.numpy as jnp
+
+    apply_fn = jax.jit(net.apply)
+    stride = net.stride
+
+    def flush(padded_len, items):
+        """Forward one length-bucket pool; yields per-read results."""
+        batch = np.zeros((padded_len, batch_size, 1), dtype=np.float32)
+        for j, st in enumerate(items):
+            batch[:len(st["current"]), j, 0] = st["current"]
+        try:
+            out = np.asarray(apply_fn(params, jnp.asarray(batch)))
+        except Exception:
+            for st in items:
+                yield None, RemapResult.NETWORK_ERROR
+            return
+        for j, st in enumerate(items):
+            nblk = -(-len(st["current"]) // stride)
+            yield finish_remap(st, out[:nblk, j], alphabet_info, stride,
+                               localpen)
+
+    pool = ThreadPoolExecutor(max_workers=max(1, io_threads))
+    staged_stream = pool.map(
+        lambda rt: stage_read(rt, per_read_params_dict, max_read_length),
+        read_tuples)
+
+    pools = defaultdict(list)
+    try:
+        for staged, err in staged_stream:
+            if staged is None:
+                yield None, err
+                continue
+            padded_len = -(-len(staged["current"]) // LEN_BUCKET
+                           ) * LEN_BUCKET
+            pools[padded_len].append(staged)
+            if len(pools[padded_len]) == batch_size:
+                yield from flush(padded_len, pools.pop(padded_len))
+        for padded_len, items in sorted(pools.items()):
+            yield from flush(padded_len, items)
+    finally:
+        pool.shutdown(wait=False)
 
 
 def generate_output_from_results(results, output, alphabet_info,

@@ -180,6 +180,46 @@ def test_prepare_mapped_reads_acceptance(tmp_path):
 
 
 @needs_fixtures
+def test_prepare_mapped_reads_batched_matches_perread(tmp_path):
+    """The accelerator remap path (batched, length-bucketed forwards —
+    the default when --device is not cpu) must produce the same mappings
+    as the multiprocess per-read path (--device cpu)."""
+    import numpy as np
+    outs = {}
+    for tag, dev in [("batched", []), ("perread", ["--device", "cpu"])]:
+        out = str(tmp_path / ("mapped_%s.hdf5" % tag))
+        r = run([os.path.join(REPO, "bin", "prepare_mapped_reads.py"),
+                 "--jobs", "2"] + dev + [
+                 "/root/reference/test/data/reads",
+                 "/root/reference/test/data/readparams.tsv", out, CONVERTED,
+                 "/root/reference/test/data/per_read_references.fasta"],
+                timeout=900)
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs[tag] = out
+
+    sys.path.insert(0, REPO)
+    from taiyaki_tpu.data.mapped_signal_files import MappedSignalReader
+    with MappedSignalReader(outs["batched"]) as a, \
+            MappedSignalReader(outs["perread"]) as b:
+        ids_a, ids_b = sorted(a.get_read_ids()), sorted(b.get_read_ids())
+        assert ids_a == ids_b and len(ids_a) == 3
+        for rid in ids_a:
+            ra, rb = a.get_read(rid), b.get_read(rid)
+            np.testing.assert_array_equal(ra.Dacs, rb.Dacs)
+            np.testing.assert_array_equal(ra.Reference, rb.Reference)
+            # batch-8 and batch-1 forwards round differently (XLA tiles
+            # by shape), so near-tie Viterbi boundaries can shift — by
+            # several blocks where the scores plateau (signal stalls).
+            # The mapping must still be the same alignment in substance:
+            # almost every boundary identical, shifts bounded.
+            r2s_a, r2s_b = ra.Ref_to_signal, rb.Ref_to_signal
+            assert r2s_a.shape == r2s_b.shape
+            moved = np.abs(r2s_a - r2s_b)
+            assert (moved > 0).mean() < 0.01, (moved > 0).mean()
+            assert moved.max() <= 32, moved.max()  # <= 16 blocks
+
+
+@needs_fixtures
 def test_plot_accuracy_histogram(tmp_path):
     out = str(tmp_path / "acc")
     r = run([os.path.join(REPO, "misc",
