@@ -175,10 +175,11 @@ class Basecaller:
         if mesh is not None and mesh.devices.size > 1:
             from jax.sharding import NamedSharding
             from jax.sharding import PartitionSpec as P
-            ndev = int(mesh.devices.size)
+            from taiyaki_tpu.parallel.mesh import round_batch_to_mesh
             # submitted parts are padded to max_batch, which must divide
-            # evenly across the data axis
-            self.max_batch = -(-max_batch // ndev) * ndev
+            # evenly across the data axis; round DOWN so the user's
+            # --max_concurrent_chunks stays an honest memory cap
+            self.max_batch = round_batch_to_mesh(max_batch, mesh)
             rep = NamedSharding(mesh, P())
             vec = NamedSharding(mesh, P(None, "data"))
             mat = NamedSharding(mesh, P(None, "data", None))
@@ -386,6 +387,10 @@ def main():
                           dtype=h5py.special_dtype(vlen=str)))
         mod_writer.create_group("Reads")
     ndev = args.ndevices or jax.local_device_count()
+    if ndev > jax.local_device_count():
+        sys.exit("* Error: --ndevices {} requested but only {} local "
+                 "devices are available".format(ndev,
+                                                jax.local_device_count()))
     mesh = None
     if ndev > 1:
         from taiyaki_tpu.parallel.mesh import data_mesh

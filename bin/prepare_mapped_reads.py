@@ -63,6 +63,11 @@ def main():
         sys.exit(1)
 
     import jax
+    # True f32 for every XLA matmul/conv, like bin/basecall.py: the
+    # TPU's DEFAULT precision runs f32 dots as one bf16 pass, and
+    # remapping quality should match the CPU reference (the Pallas
+    # kernels honor the same intent via TAIYAKI_TPU_F32_GATES above)
+    jax.config.update("jax_default_matmul_precision", "highest")
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
@@ -125,9 +130,12 @@ def main():
         # Accelerator path: one process drives the chip with batched,
         # length-bucketed forwards; --jobs sizes the IO thread pool.
         # (The reference's GPU path runs one model per worker process;
-        # taiyaki/prepare_mapping_funcs.py `device` arg.)
+        # taiyaki/prepare_mapping_funcs.py `device` arg.)  An integer
+        # --device selects that device index.
+        device = (jax.devices()[args.device]
+                  if isinstance(args.device, int) else None)
         results = batched_remap_results(
-            iter_jobs(), io_threads=args.jobs, **kwargs)
+            iter_jobs(), io_threads=args.jobs, device=device, **kwargs)
     else:
         if args.limit is not None:
             chunksize = int(np.clip(args.limit // (2 * args.jobs), 1, 50))

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from taiyaki_tpu.ops.pallas_rnn import _run_steps
+from taiyaki_tpu.ops.pallas_common import run_steps
 
 _NEG = -1e30
 DEFAULT_BLOCK_T = 8
@@ -77,7 +77,7 @@ def _fwd_kernel(stay_ref, move_ref, valid_ref, fwd_out, score_out,
         score_carry[:] = score_carry[:] + factor[:, 0]
         return 0
 
-    _run_steps(body, block_t, unroll)
+    run_steps(body, block_t, unroll)
 
     @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
     def _():
@@ -184,7 +184,7 @@ def _bwd_kernel(stay_ref, move_ref, lattice_ref, valid_ref, last_ref,
         bwd_carry[:] = jnp.where(valid, new - factor, _NEG)
         return 0
 
-    _run_steps(body, block_t, unroll)
+    run_steps(body, block_t, unroll)
 
 
 def crf_backward_posteriors(stay_all, move_all, lattice, valid, last,

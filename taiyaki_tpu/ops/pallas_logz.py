@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from taiyaki_tpu.ops.pallas_rnn import _run_steps
+from taiyaki_tpu.ops.pallas_common import run_steps
 
 _NEG = -1e30
 LANES = 128
@@ -108,7 +108,7 @@ def _fwd_kernel(scores_ref, src_ref, dst_ref, fwd_out, logz_out,
         logz_carry[:] = logz_carry[:] + factor[:, 0]
         return 0
 
-    _run_steps(body, block_t, unroll)
+    run_steps(body, block_t, unroll)
 
     @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
     def _():
@@ -204,7 +204,7 @@ def _bwd_kernel(scores_ref, lattice_ref, src_ref, dst_ref, post_ref,
         bwd_carry[:] = jnp.where(col < nff, new - factor, _NEG)
         return 0
 
-    _run_steps(body, block_t, unroll)
+    run_steps(body, block_t, unroll)
 
 
 def logz_backward_posteriors(scores_p, lattice, nbase,

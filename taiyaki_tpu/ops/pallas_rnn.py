@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from taiyaki_tpu.ops.pallas_common import run_steps
+
 # Time steps per grid iteration.  Bounded by VMEM: with double-buffered
 # streaming the in/out blocks cost ~2 * block_t * B * (9H) floats; at
 # B=64, H=256 block_t=8 keeps the total under the 16MB VMEM budget.
@@ -58,25 +60,6 @@ def _time_maps(ngrid, block_t, descending):
     return (lambda i: (i, 0, 0), lambda j: j)
 
 
-# Unrolled bodies with inlined dots HUNG the remote Mosaic compile at
-# block_t=8; unrolling is verified safe (1s compiles, bit-identical
-# results) only for 1-2 iteration loops.
-MAX_UNROLL_BLOCK_T = 2
-
-
-def _run_steps(body, block_t, unroll):
-    """Run the per-row time loop.  `unroll=True` means "statically
-    unroll if safe": loops of <= MAX_UNROLL_BLOCK_T iterations are
-    emitted inline (removing per-iteration loop machinery), longer ones
-    always stay a rolled `fori_loop` — the guard lives HERE so no call
-    site can request a compile-hanging unroll."""
-    if unroll and block_t <= MAX_UNROLL_BLOCK_T:
-        for j in range(block_t):
-            body(j, 0)
-    else:
-        jax.lax.fori_loop(0, block_t, body, 0)
-
-
 def _lstm_fwd_kernel(gx_ref, swt_ref, h_ref, c_ref, pre_ref,
                      h_carry, c_carry, *, block_t, H, order, precision,
                      unroll=False):
@@ -104,7 +87,7 @@ def _lstm_fwd_kernel(gx_ref, swt_ref, h_ref, c_ref, pre_ref,
         c_carry[:] = c2
         return 0
 
-    _run_steps(body, block_t, unroll)
+    run_steps(body, block_t, unroll)
 
 
 def lstm_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
@@ -212,7 +195,7 @@ def _lstm_bwd_kernel(dh_ref, pre_ref, c_ref, cprev_ref, sw_ref, dpre_ref,
         dc_carry[:] = dc * f
         return 0
 
-    _run_steps(body, block_t, unroll)
+    run_steps(body, block_t, unroll)
 
 
 def _lstm_bwd_dx_kernel(dh_ref, pre_ref, c_ref, cprev_ref, sw_ref, iwt_ref,
@@ -358,7 +341,7 @@ def _lstm_fused_fwd_kernel(x_ref, iwt_ref, b_ref, swt_ref,
         c_carry[:] = c2
         return 0
 
-    _run_steps(body, block_t, unroll)
+    run_steps(body, block_t, unroll)
 
 
 def lstm_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
@@ -451,7 +434,7 @@ def _gru_fused_fwd_kernel(x_ref, iwt_ref, b_ref, swt_ref,
         h_carry[:] = h2
         return 0
 
-    _run_steps(body, block_t, unroll)
+    run_steps(body, block_t, unroll)
 
 
 def gru_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
@@ -526,7 +509,7 @@ def _gru_fwd_kernel(gx_ref, swt_ref, h_ref, gh_ref, h_carry,
         h_carry[:] = h2
         return 0
 
-    _run_steps(body, block_t, unroll)
+    run_steps(body, block_t, unroll)
 
 
 def gru_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
@@ -598,7 +581,7 @@ def _gru_bwd_kernel(dh_ref, gx_ref, gh_ref, hprev_ref, sw_ref,
                        + dh * z)
         return 0
 
-    _run_steps(body, block_t, unroll)
+    run_steps(body, block_t, unroll)
 
 
 def _gru_bwd_dx_kernel(dh_ref, gx_ref, gh_ref, hprev_ref, sw_ref, iwt_ref,

@@ -143,7 +143,7 @@ def oneread_remap(read_tuple, net, params, per_read_params_dict,
 
 def batched_remap_results(read_tuples, net, params, per_read_params_dict,
                           alphabet_info, max_read_length, localpen=0.0,
-                          batch_size=8, io_threads=4):
+                          batch_size=8, io_threads=4, device=None):
     """Remap reads with BATCHED on-device forwards (accelerator path).
 
     The reference remaps one read per GPU worker (taiyaki/
@@ -161,11 +161,16 @@ def batched_remap_results(read_tuples, net, params, per_read_params_dict,
     rounds) a [L, 8, 1] forward differently from [L, 1, 1], on any
     backend.
     """
+    from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
     import jax
     import jax.numpy as jnp
 
+    if device is not None:
+        # committed params pin the computation to the requested device
+        # (DeviceAction integer index, e.g. --device 1)
+        params = jax.device_put(params, device)
     apply_fn = jax.jit(net.apply)
     stride = net.stride
 
@@ -185,14 +190,31 @@ def batched_remap_results(read_tuples, net, params, per_read_params_dict,
             yield finish_remap(st, out[:nblk, j], alphabet_info, stride,
                                localpen)
 
+    # Bounded staging window: Executor.map would submit the WHOLE read
+    # iterator up front and stage every signal in memory; instead keep
+    # only a small queue of futures in flight so memory stays constant
+    # on arbitrarily large runs (the per-read path's imap_mp has the
+    # same property via its chunked Pool feeding).
     pool = ThreadPoolExecutor(max_workers=max(1, io_threads))
-    staged_stream = pool.map(
-        lambda rt: stage_read(rt, per_read_params_dict, max_read_length),
-        read_tuples)
+    window = max(2 * batch_size, 4 * max(1, io_threads))
+    pending = deque()
+    read_iter = iter(read_tuples)
+
+    def top_up():
+        while len(pending) < window:
+            try:
+                rt = next(read_iter)
+            except StopIteration:
+                return
+            pending.append(pool.submit(
+                stage_read, rt, per_read_params_dict, max_read_length))
 
     pools = defaultdict(list)
     try:
-        for staged, err in staged_stream:
+        top_up()
+        while pending:
+            staged, err = pending.popleft().result()
+            top_up()
             if staged is None:
                 yield None, err
                 continue
@@ -204,7 +226,7 @@ def batched_remap_results(read_tuples, net, params, per_read_params_dict,
         for padded_len, items in sorted(pools.items()):
             yield from flush(padded_len, items)
     finally:
-        pool.shutdown(wait=False)
+        pool.shutdown(wait=False, cancel_futures=True)
 
 
 def generate_output_from_results(results, output, alphabet_info,

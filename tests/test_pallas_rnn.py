@@ -96,14 +96,31 @@ def test_lstm_unrolled_block_matches_rolled():
 
 
 def test_unroll_guard_ignores_unsafe_block():
-    """unroll=True at block_t>MAX_UNROLL_BLOCK_T must fall back to the
-    rolled loop (the Mosaic-hang guard lives inside _run_steps)."""
-    gates_x, sW = setup(4)
-    h1, c1, p1 = pallas_rnn.lstm_fwd(gates_x, sW, block_t=8,
-                                     interpret=True)
-    h2, c2, p2 = pallas_rnn.lstm_fwd(gates_x, sW, block_t=8,
-                                     interpret=True, unroll=True)
-    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    """unroll=True at block_t > MAX_UNROLL_BLOCK_T must take the ROLLED
+    fori_loop (unrolled big blocks hang the Mosaic compile); observe the
+    path taken by whether the body receives concrete Python ints
+    (static unroll) or a single traced index (fori_loop)."""
+    from taiyaki_tpu.ops import pallas_common
+
+    def record(block_t, unroll):
+        seen = []
+
+        def body(j, _):
+            seen.append(j)
+            return 0
+
+        pallas_common.run_steps(body, block_t, unroll)
+        return seen
+
+    # safe: statically unrolled -> one concrete int per iteration
+    seen = record(2, True)
+    assert seen == [0, 1]
+    # unsafe: guard forces the rolled loop -> body traced with a tracer
+    seen = record(8, True)
+    assert not any(isinstance(j, int) for j in seen), seen
+    # unroll=False always rolls
+    seen = record(2, False)
+    assert not any(isinstance(j, int) for j in seen), seen
 
 
 def test_gru_bwd_fused_dx_matches_einsum():
