@@ -364,6 +364,15 @@ class Parallel(Layer):
     def size(self):
         return sum(l.size for l in self.sublayers)
 
+    @property
+    def stride(self):
+        # branches consume the same input and their outputs are combined
+        # time-aligned, so all sublayer strides must agree
+        strides = {getattr(l, "stride", 1) for l in self.sublayers}
+        assert len(strides) == 1, (
+            "sublayers disagree on stride: {}".format(sorted(strides)))
+        return strides.pop()
+
     def init(self, rng):
         return {"sublayers": [l.init(rng) for l in self.sublayers]}
 
@@ -393,6 +402,15 @@ class Product(Layer):
     @property
     def size(self):
         return self.sublayers[0].size
+
+    @property
+    def stride(self):
+        # branches consume the same input and their outputs are combined
+        # time-aligned, so all sublayer strides must agree
+        strides = {getattr(l, "stride", 1) for l in self.sublayers}
+        assert len(strides) == 1, (
+            "sublayers disagree on stride: {}".format(sorted(strides)))
+        return strides.pop()
 
     def init(self, rng):
         return {"sublayers": [l.init(rng) for l in self.sublayers]}
@@ -519,6 +537,15 @@ class SoftChoice(Layer):
     def size(self):
         return self.sublayers[0].size
 
+    @property
+    def stride(self):
+        # branches consume the same input and their outputs are combined
+        # time-aligned, so all sublayer strides must agree
+        strides = {getattr(l, "stride", 1) for l in self.sublayers}
+        assert len(strides) == 1, (
+            "sublayers disagree on stride: {}".format(sorted(strides)))
+        return strides.pop()
+
     def init(self, rng):
         return {"alpha": np.zeros(len(self.sublayers), dtype=np.float32),
                 "sublayers": [l.init(rng) for l in self.sublayers]}
@@ -637,7 +664,12 @@ class Lstm(Layer):
         # whole layer incl. the gate GEMM: on TPU the gates are computed
         # inside the Pallas kernel (no [T,B,4H] HBM round trip)
         from taiyaki_tpu.ops.rnn import lstm_layer
-        return lstm_layer(x, params["iW"], params["b"], params["sW"],
+        # has_bias=False keeps the zero 'b' leaf (uniform kernel
+        # signature) but blocks its gradient: "initialised to zero and
+        # not trained" (reference layers.py:271-272)
+        b = (params["b"] if self.has_bias
+             else jax.lax.stop_gradient(params["b"]))
+        return lstm_layer(x, params["iW"], b, params["sW"],
                           reverse=reverse)
 
     def json(self, params):
@@ -691,7 +723,10 @@ class GruMod(Layer):
 
     def apply(self, params, x, reverse=False):
         from taiyaki_tpu.ops.rnn import gru_layer
-        return gru_layer(x, params["iW"], params["b"], params["sW"],
+        # see Lstm.apply on has_bias=False
+        b = (params["b"] if self.has_bias
+             else jax.lax.stop_gradient(params["b"]))
+        return gru_layer(x, params["iW"], b, params["sW"],
                          reverse=reverse)
 
     def json(self, params):
@@ -722,20 +757,30 @@ class CudnnGru(Layer):
         self.has_bias = has_bias
 
     def init(self, rng):
-        return {
+        params = {
             "iW": orthonormal_matrix(rng, 3 * self.size, self.insize),
             "sW": orthonormal_matrix(rng, 3 * self.size, self.size),
-            "ib": truncated_normal(rng, (3 * self.size,), sd=0.5),
-            "sb": truncated_normal(rng, (3 * self.size,), sd=0.5),
         }
+        if self.has_bias:
+            params["ib"] = truncated_normal(rng, (3 * self.size,), sd=0.5)
+            params["sb"] = truncated_normal(rng, (3 * self.size,), sd=0.5)
+        else:
+            # zero and not trained (see Lstm.apply)
+            params["ib"] = np.zeros(3 * self.size, dtype=np.float32)
+            params["sb"] = np.zeros(3 * self.size, dtype=np.float32)
+        return params
 
     def apply(self, params, x):
         T, B, _ = x.shape
         H = self.size
-        gates_x = x @ params["iW"].T + params["ib"]
+        ib, sb = params["ib"], params["sb"]
+        if not self.has_bias:
+            ib = jax.lax.stop_gradient(ib)
+            sb = jax.lax.stop_gradient(sb)
+        gates_x = x @ params["iW"].T + ib
 
         def step(h, gx):
-            gh = h @ params["sW"].T + params["sb"]
+            gh = h @ params["sW"].T + sb
             r = jax.nn.sigmoid(gx[:, :H] + gh[:, :H])
             z = jax.nn.sigmoid(gx[:, H:2 * H] + gh[:, H:2 * H])
             n = jnp.tanh(gx[:, 2 * H:] + r * gh[:, 2 * H:])
@@ -751,7 +796,8 @@ class CudnnGru(Layer):
                            ("gate", "sigmoid"),
                            ("size", self.size),
                            ("insize", self.insize),
-                           ("bias", self.has_bias)])
+                           ("bias", self.has_bias),
+                           ("state0", False)])
         res["params"] = OrderedDict([
             ("iW", _cudnn_to_guppy_gru(_as_np(params["iW"])).reshape(
                 3, self.size, self.insize)),
@@ -926,6 +972,8 @@ def DownUpSample(layer, nfold):
 
 def guess_model_stride(net, params, input_length=720):
     """Infer total time stride by probing with a zero input
-    (reference: taiyaki/helpers.py:150-162)."""
-    out = net.apply(params, jnp.zeros((input_length, 1, net.insize)))
+    (reference: taiyaki/helpers.py:150-162, which probes a fixed
+    (720, 1, 1) input; layers like DeltaSample define no insize)."""
+    insize = getattr(net, "insize", 1)
+    out = net.apply(params, jnp.zeros((input_length, 1, insize)))
     return int(round(input_length / out.shape[0]))

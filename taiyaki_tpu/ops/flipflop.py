@@ -172,18 +172,27 @@ def _forward_scores(lp, stay_idx, move_idx, modmove_idx, modmove_fact,
     Returns:
         (score [batch], lattice or None)
     """
-    nblk, nbatch, nstate = lp.shape
+    nstate = lp.shape[2]
     npos = stay_idx.shape[1]
     pos = jnp.arange(npos)[None, :]
     valid = pos < seqlens[:, None]                        # [batch, npos]
     sel_stay, sel_move = _make_selectors(stay_idx, move_idx, modmove_idx,
                                          modmove_fact, nstate)
+    stay_all, move_all = _select_all_scores(lp, sel_stay, sel_move)
+    return _forward_scores_streams(stay_all, move_all, valid, seqlens,
+                                   collect_lattice)
+
+
+def _forward_scores_streams(stay_all, move_all, valid, seqlens,
+                            collect_lattice):
+    """Forward DP given the selected per-position score streams (so the
+    gradient pass, which also needs the streams, computes them once)."""
+    nblk, nbatch, npos = stay_all.shape
+    pos = jnp.arange(npos)[None, :]
 
     fwd0 = jnp.where(pos == 0, 0.0, _NEG)
     fwd0 = jnp.where(valid, fwd0, _NEG).astype(jnp.float32)
     fwd0 = jnp.broadcast_to(fwd0, (nbatch, npos))
-
-    stay_all, move_all = _select_all_scores(lp, sel_stay, sel_move)
 
     if _use_pallas():
         from taiyaki_tpu.ops import pallas_crf
@@ -235,11 +244,10 @@ def _grad_scores(lp, stay_idx, move_idx, modmove_idx, modmove_fact, seqlens):
     valid_move = pos[:, :-1] < (seqlens[:, None] - 1)
     sel_stay, sel_move = _make_selectors(stay_idx, move_idx, modmove_idx,
                                          modmove_fact, nstate)
-
-    score, fwd_lattice = _forward_scores(
-        lp, stay_idx, move_idx, modmove_idx, modmove_fact, seqlens,
-        collect_lattice=True)
     stay_all, move_all = _select_all_scores(lp, sel_stay, sel_move)
+
+    score, fwd_lattice = _forward_scores_streams(
+        stay_all, move_all, valid, seqlens, collect_lattice=True)
     last = jnp.clip(seqlens - 1, 0, npos - 1)
 
     if _use_pallas():
@@ -436,8 +444,18 @@ def cat_mod_flipflop_loss(logprob, seqs, seqlens, mod_cats, can_mods_offsets,
 
     trans_sharp = jnp.where(jnp.arange(ntrans) < n_can_trans, sharpfact, 1.0)
     lp = (logprob * trans_sharp).astype(jnp.float32)
-    return _cat_mod_loss_core(lp, stay_idx, move_idx, modmove_idx,
-                              modmove_fact, jnp.asarray(seqlens)) / sharpfact
+    # Reference gradient convention (CatModFlipFlop.backward,
+    # ctc.pyx:305-312): the returned gradient is the core DP gradient
+    # evaluated AT the sharpened scores, with neither the trans_sharp
+    # chain factor nor the /sharpfact division applied.  Plain autodiff
+    # through lp and the division reproduces that only for canonical
+    # columns (where the factors cancel); mod columns would pick up a
+    # spurious 1/sharpfact.  Make both value-only (straight-through):
+    lp32 = logprob.astype(jnp.float32)
+    lp = lp32 + jax.lax.stop_gradient(lp - lp32)
+    core = _cat_mod_loss_core(lp, stay_idx, move_idx, modmove_idx,
+                              modmove_fact, jnp.asarray(seqlens))
+    return core + jax.lax.stop_gradient(core / sharpfact - core)
 
 
 # -- partition function ------------------------------------------------------

@@ -246,8 +246,12 @@ def make_loss_fn(net, is_cat_mod=False, can_mods_offsets=None,
         else:
             lossvector = ffops.crf_flipflop_loss(
                 outputs, batch.seqs, batch.seqlens, sharpen)
-        lossvector = lossvector + (
-            ffops.flipflop_logz(outputs[:, :, :ntrans]) / nblk)
+        # logZ masked like the CRF cost: a zero-length row would
+        # otherwise contribute an unopposed -d(logZ) gradient (the
+        # reference refuses such batches outright,
+        # bin/train_flipflop.py:102-103; SignalMapping filters them)
+        logz = ffops.flipflop_logz(outputs[:, :, :ntrans]) / nblk
+        lossvector = lossvector + jnp.where(batch.seqlens > 0, logz, 0.0)
         return jnp.mean(lossvector)
 
     return loss_fn

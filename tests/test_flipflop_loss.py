@@ -237,6 +237,38 @@ def test_cat_mod_finite_difference_gradient():
     assert abs(actual - predicted) / abs(float(loss_fn(x))) < 2e-4
 
 
+def test_cat_mod_sharpened_gradient_reference_convention():
+    """Reference convention (CatModFlipFlop.backward, ctc.pyx:305-312):
+    the gradient is the core DP gradient evaluated AT the sharpened
+    scores for ALL columns — no trans_sharp chain factor, no /sharpfact.
+    Plain autodiff would divide the MOD columns by sharpfact."""
+    rng = np.random.default_rng(37)
+    x, seq, seqlens, mod_cats, offsets, weights = _cat_mod_setup(rng)
+    sharpfact = 2.0
+
+    g = jax.grad(lambda v: jnp.sum(ffops.cat_mod_flipflop_loss(
+        v, seq, seqlens, mod_cats, offsets, weights,
+        sharpfact=sharpfact)))(x)
+
+    # the reference gradient: d core / d lp at lp = sharpened scores
+    stay_idx, move_idx = ffops.make_seq_indices(seq, NBASE)
+    mod_seq = (jnp.asarray(offsets)[jnp.mod(seq[:, 1:], NBASE)]
+               + mod_cats[:, 1:])
+    modmove_idx = (NTRANS + mod_seq).astype(jnp.int32)
+    modmove_fact = jnp.asarray(weights)[mod_seq].astype(jnp.float32)
+    trans_sharp = jnp.where(jnp.arange(x.shape[2]) < NTRANS,
+                            sharpfact, 1.0)
+    g_ref = jax.grad(lambda v: jnp.sum(ffops._cat_mod_loss_core(
+        v, stay_idx, move_idx, modmove_idx, modmove_fact, seqlens)))(
+            x * trans_sharp)
+
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-6)
+    # sanity: the convention is NOT plain autodiff for mod columns
+    assert not np.allclose(np.asarray(g[:, :, NTRANS:]),
+                           np.asarray(g_ref[:, :, NTRANS:]) / sharpfact)
+
+
 def test_cat_mod_custom_vjp_matches_autodiff():
     rng = np.random.default_rng(31)
     x, seq, seqlens, mod_cats, offsets, weights = _cat_mod_setup(rng)

@@ -8,6 +8,7 @@ CPU means agreeing with the reference.
 
 import json
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -294,3 +295,38 @@ def test_downupsample_wrapper():
     p = wrapped.init(RNG)
     y = wrapped.apply(p, rand_input())
     assert y.shape == (12, 3, 8)
+
+
+def test_has_bias_false_biases_not_trained():
+    """has_bias=False: bias leaves stay zero and receive NO gradient
+    ("initialised to zero and not trained", reference layers.py:271-272;
+    nn.LSTM/GRU(bias=False) have no bias at all)."""
+    x = rand_input()  # [T, B, 8]
+    for layer, bias_keys in [
+            (layers.Lstm(8, 8, has_bias=False), ["b"]),
+            (layers.GruMod(8, 8, has_bias=False), ["b"]),
+            (layers.CudnnGru(8, 8, has_bias=False), ["ib", "sb"]),
+    ]:
+        p = layer.init(RNG)
+        for k in bias_keys:
+            assert not np.any(np.asarray(p[k])), k
+
+        g = jax.grad(lambda pp: float(0) + jnp.sum(
+            layer.apply(pp, x) ** 2))(jax.tree.map(jnp.asarray, p))
+        for k in bias_keys:
+            assert not np.any(np.asarray(g[k])), (type(layer).__name__, k)
+        # the weights still train
+        assert np.any(np.asarray(g["iW"]))
+
+
+def test_parallel_stride_aggregation():
+    """Parallel/Product/SoftChoice report their branches' common stride
+    (previously inherited Layer.stride = 1 regardless)."""
+    conv = lambda: layers.Convolution(8, 8, winlen=5, stride=2)
+    for combi in (layers.Parallel, layers.Product, layers.SoftChoice):
+        net = combi([conv(), conv()])
+        assert net.stride == 2
+    mixed = layers.Parallel([conv(), layers.FeedForward(8, 8)])
+    import pytest
+    with pytest.raises(AssertionError):
+        mixed.stride
