@@ -149,11 +149,25 @@ def main(args):
             mod_cat_weights = np.ones(head.ncan_base + head.nmod_base,
                                       dtype=np.float32)
         else:
-            mod_cat_weights = alphabet_info.compute_mod_inv_freq_weights(
-                read_data, args.num_mod_weight_reads) \
-                ** args.mod_prior_factor
-            logs.main.write('* Modified base weights: {}\n'.format(
-                mod_cat_weights))
+            # log-odds priors, as the reference trainer computes them
+            # (bin/train_flipflop.py:312-326; NOT the inv-freq variant,
+            # which the reference ships but does not use here)
+            mod_cat_weights = alphabet_info.compute_log_odds_weights(
+                read_data, args.num_mod_weight_reads)
+            logs.main.write(
+                '* Computed modbase log odds priors:  {}\n'.format(
+                    '  '.join('{}:{:.4f}'.format(*x) for x in
+                              zip(alphabet_info.alphabet,
+                                  mod_cat_weights))))
+            if args.mod_prior_factor != 1.0:
+                mod_cat_weights = np.power(mod_cat_weights,
+                                           args.mod_prior_factor)
+                logs.main.write(
+                    '* Applied mod_prior_factor to modbase log odds '
+                    'priors:  {}\n'.format(
+                        '  '.join('{}:{:.4f}'.format(*x) for x in
+                                  zip(alphabet_info.alphabet,
+                                      mod_cat_weights))))
     else:
         assert alphabet_info.nbase == net.sublayers[-1].nbase, (
             'Number of bases in alphabet does not match model')
@@ -205,6 +219,15 @@ def main(args):
     step_fn = train.jit_train_step(
         train.make_train_step(net, optimizer, is_cat_mod, can_mods_offsets,
                               mod_cat_weights), mesh)
+    if args.sub_batches > 1:
+        # gradient ACCUMULATION over sub-batches, one optimizer step per
+        # iteration (reference bin/train_flipflop.py:152-195; stepping
+        # per sub-batch would burn the LR schedule sub_batches too fast)
+        grad_fn = train.jit_grad_step(
+            train.make_grad_step(net, is_cat_mod, can_mods_offsets,
+                                 mod_cat_weights), mesh)
+        apply_fn = train.jit_apply_step(
+            train.make_apply_step(optimizer), mesh)
 
     # ---- filters & reporting data ------------------------------------------
     logs.main.write('* Estimating filter parameters from training data\n')
@@ -246,28 +269,31 @@ def main(args):
         args.chunk_len_buckets)
     logs.main.write('* Chunk length buckets: {}\n'.format(buckets))
 
-    # Frozen validation batches, at the max chunk len bucket.
-    val_chunk_len = buckets[-1]
+    # Frozen validation batches: --reporting_sub_batches of them
+    # (verbatim, as the reference's target_sub_batches), of
+    # min_sub_batch_size chunks at the bucket nearest the reference's
+    # (min+max)/2 reporting chunk length, walking the held-out strands
+    # sequentially by attempts consumed (train_flipflop.py:88-96,510-514).
+    mid_len = (args.chunk_len_min + args.chunk_len_max) // 2
+    val_chunk_len = min(buckets, key=lambda b: abs(b - mid_len))
     val_max_seqlen = train.max_seqlen_for_chunk(
         val_chunk_len, stride, args.filter_path_buffer)
-    val_sub_batch_size = train.sub_batch_size_for_chunk(
-        args.min_sub_batch_size, args.chunk_len_max, val_chunk_len)
-    n_val = max(1, args.reporting_sub_batches // 10)
     reporting_batches = []
-    for i in range(n_val):
-        vb, _ = train.sample_batch(
-            reporting_data, val_chunk_len, val_sub_batch_size,
+    first_strand = 0
+    for i in range(args.reporting_sub_batches):
+        vb, vrej = train.sample_batch(
+            reporting_data, val_chunk_len, args.min_sub_batch_size,
             val_max_seqlen, alphabet_info, filter_params,
             reverse=args.reverse, standardize=args.standardize,
             can_labels=can_labels, mod_labels=mod_labels,
-            select_strands_randomly=False, first_strand_index=i * 7,
+            select_strands_randomly=False, first_strand_index=first_strand,
             seqlen_granularity=(128 if (args.seqlen_buckets and
                                         jax.process_count() == 1)
                                 else None))
+        first_strand += sum(vrej.values())
         if vb.signal.shape[1] > 0:
             reporting_batches.append(vb)
 
-    import jax.numpy as jnp  # noqa: F811
     loss_fn = train.make_loss_fn(net, is_cat_mod, can_mods_offsets,
                                  mod_cat_weights)
     eval_loss = jax.jit(loss_fn, static_argnums=())
@@ -347,13 +373,25 @@ def main(args):
             rejection_dict[k] += v
 
         loss_sum = 0.0
-        for batch in batches:
-            params, opt_state, loss, grad_maxs = step_fn(
-                params, opt_state, batch, sharpen, mod_factor,
+        if args.sub_batches == 1:
+            for batch in batches:
+                params, opt_state, loss, grad_maxs = step_fn(
+                    params, opt_state, batch, sharpen, mod_factor,
+                    jnp.asarray(capper.thresholds))
+                loss_sum += float(loss)
+                total_samples += batch.signal.size
+                total_bases += int(np.sum(batch.seqlens))
+        else:
+            acc = None
+            for batch in batches:
+                loss, grads = grad_fn(params, batch, sharpen, mod_factor)
+                acc = train.accumulate_grads(acc, grads)
+                loss_sum += float(loss)
+                total_samples += batch.signal.size
+                total_bases += int(np.sum(batch.seqlens))
+            params, opt_state, grad_maxs = apply_fn(
+                params, opt_state, acc, float(args.sub_batches),
                 jnp.asarray(capper.thresholds))
-            loss_sum += float(loss)
-            total_samples += batch.signal.size
-            total_bases += int(np.sum(batch.seqlens))
         fval = loss_sum / args.sub_batches
         if not np.isfinite(fval):
             # Numerical-health guard (reference: ctc.pyx:62-65 advice).
@@ -414,6 +452,10 @@ def main(args):
             time_last = time.time()
 
     prefetch.shutdown(wait=False)
+    if args.profile and 10 < args.niteration <= 15:
+        jax.profiler.stop_trace()
+        logs.main.write('* Profiler trace written to {}/profile\n'
+                        .format(args.outdir))
     if is_lead:
         helpers.save_model(args.outdir, net, params, model_source,
                            model_kwargs, metadata, index=None,

@@ -82,7 +82,7 @@ class _ReaderBase:
         nreads = 0
         for read in self:
             nreads += 1
-            if sum(len(line) for line in report) >= limit_report_lines:
+            if sum(r.count("\n") + 1 for r in report) >= limit_report_lines:
                 report.append("Number of lines in error report limited")
                 break
             verdict = read.check()
@@ -136,7 +136,10 @@ class PerReadHDF5Reader(_ReaderBase):
             yield self._read_from_group(group)
 
     def _some_reads(self, read_ids):
-        present = set(read_ids).intersection(self.get_read_ids())
+        # sorted: set iteration order varies per process (str hash
+        # randomization), which would break the trainer's shared-seed
+        # index-based holdout across hosts / reruns
+        present = sorted(set(read_ids).intersection(self.get_read_ids()))
         for read_id in present:
             yield self.get_read(read_id)
 
@@ -204,7 +207,8 @@ class BatchHDF5Reader(_ReaderBase):
             yield from self._load_batch(name).values()
 
     def _some_reads(self, read_ids):
-        wanted = set(read_ids).intersection(self.get_read_ids())
+        # sorted for cross-process determinism (see PerReadHDF5Reader)
+        wanted = sorted(set(read_ids).intersection(self.get_read_ids()))
         by_batch = {}
         for rid in wanted:
             by_batch.setdefault(self._read_id_to_batch[rid], []).append(rid)

@@ -286,6 +286,83 @@ def make_train_step(net, optimizer, is_cat_mod=False, can_mods_offsets=None,
     return step
 
 
+def make_grad_step(net, is_cat_mod=False, can_mods_offsets=None,
+                   mod_cat_weights=None):
+    """Per-sub-batch (loss, grads) — the accumulation path for
+    --sub_batches > 1.  The reference accumulates loss.backward() over
+    sub-batches and steps the optimizer ONCE per iteration
+    (bin/train_flipflop.py:152-195); stepping per sub-batch would burn
+    the LR schedule sub_batches times too fast."""
+    loss_fn = make_loss_fn(net, is_cat_mod, can_mods_offsets,
+                           mod_cat_weights)
+
+    def gstep(params, batch, sharpen, mod_factor):
+        return jax.value_and_grad(loss_fn)(params, batch, sharpen,
+                                           mod_factor)
+
+    return gstep
+
+
+def make_apply_step(optimizer):
+    """Average accumulated grads over n_sub, then clip + update exactly
+    as the fused step does (maxima measured pre-clip, reference
+    apply_clipping order)."""
+
+    def astep(params, opt_state, grads, n_sub, clip_threshs):
+        grads = jax.tree.map(lambda g: g / n_sub, grads)
+        leaves, treedef = jax.tree.flatten(grads)
+        grad_maxs = jnp.stack([jnp.max(jnp.abs(g)) for g in leaves])
+        clipped = [jnp.clip(g, -t, t)
+                   for g, t in zip(leaves, clip_threshs)]
+        grads = jax.tree.unflatten(treedef, clipped)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, grad_maxs
+
+    return astep
+
+
+def accumulate_grads(acc, grads):
+    """Running on-device sum of gradient pytrees (one jitted dispatch)."""
+    if acc is None:
+        return grads
+    return _tree_add(acc, grads)
+
+
+@jax.jit
+def _tree_add(a, b):
+    return jax.tree.map(jnp.add, a, b)
+
+
+def jit_grad_step(gstep, mesh=None):
+    """jit the per-sub-batch gradient step (see jit_train_step for the
+    mesh semantics)."""
+    if mesh is None:
+        return jax.jit(gstep)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = NamedSharding(mesh, P())
+    batch_shard = Batch(
+        signal=NamedSharding(mesh, P(None, "data", None)),
+        seqs=NamedSharding(mesh, P("data", None)),
+        seqlens=NamedSharding(mesh, P("data")),
+        mod_cats=NamedSharding(mesh, P("data", None)),
+    )
+    return jax.jit(gstep,
+                   in_shardings=(repl, batch_shard, None, None),
+                   out_shardings=(repl, repl))
+
+
+def jit_apply_step(astep, mesh=None):
+    if mesh is None:
+        return jax.jit(astep, donate_argnums=(0, 1, 2))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = NamedSharding(mesh, P())
+    return jax.jit(astep,
+                   in_shardings=(repl, repl, repl, None, repl),
+                   out_shardings=(repl, repl, repl),
+                   donate_argnums=(0, 1, 2))
+
+
 def jit_train_step(step, mesh=None):
     """jit the step; when a mesh is given, shard the batch over its 'data'
     axis and replicate params/opt state.  XLA turns the gradient reduction

@@ -161,3 +161,44 @@ def test_seqlen_bucketed_batch_matches_full_padding(setup):
     lfull = float(lf(params, full, 1.0))
     assert np.isfinite(lb)
     np.testing.assert_allclose(lb, lfull, rtol=1e-5)
+
+
+def test_grad_accumulation_matches_fused_step(setup):
+    """make_grad_step + accumulate_grads + make_apply_step on N copies of
+    a sub-batch must reproduce the fused make_train_step on that batch
+    (gradients averaged over sub-batches, ONE optimizer update —
+    reference bin/train_flipflop.py:152-195)."""
+    import jax.numpy as jnp
+    reads, ai, net, params, fp = setup
+    chunk_len, batch_size = 256, 8
+    max_seqlen = train.max_seqlen_for_chunk(chunk_len, 2, 1.1)
+    opt, _ = train.make_optimizer(lr_max=4e-3, niteration=10,
+                                  warmup_batches=2, lr_warmup=1e-4,
+                                  lr_min=1e-4)
+    opt_state = opt.init(params)
+    batch, _ = train.sample_batch(reads, chunk_len, batch_size,
+                                  max_seqlen, ai, fp)
+    nleaves = len(jax.tree.leaves(params))
+    threshs = jnp.full(nleaves, jnp.inf, jnp.float32)
+
+    fused = train.jit_train_step(train.make_train_step(net, opt))
+    p_ref, _, loss_ref, gm_ref = fused(
+        jax.tree.map(jnp.asarray, params), opt_state, batch, 1.0, 1.0,
+        threshs)
+
+    gstep = train.jit_grad_step(train.make_grad_step(net))
+    astep = train.jit_apply_step(train.make_apply_step(opt))
+    acc = None
+    for _ in range(3):  # 3 identical sub-batches -> same averaged grads
+        loss, grads = gstep(jax.tree.map(jnp.asarray, params), batch,
+                            1.0, 1.0)
+        acc = train.accumulate_grads(acc, grads)
+    p_acc, _, gm_acc = astep(jax.tree.map(jnp.asarray, params),
+                             opt.init(params), acc, 3.0, threshs)
+
+    assert abs(float(loss) - float(loss_ref)) < 1e-6
+    np.testing.assert_allclose(np.asarray(gm_acc), np.asarray(gm_ref),
+                               rtol=1e-5, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(p_acc), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
