@@ -23,9 +23,12 @@ _LIB = None
 
 
 def _build():
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o",
-           _LIB_PATH, _SRC]
+    # compile to a per-process temp name and rename atomically: two
+    # processes racing a first-use build must never dlopen a partial .so
+    tmp = "{}.{}.tmp".format(_LIB_PATH, os.getpid())
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", tmp, _SRC]
     subprocess.run(cmd, check=True, capture_output=True, text=True)
+    os.replace(tmp, _LIB_PATH)
 
 
 def _get_lib():
@@ -45,10 +48,12 @@ def _get_lib():
             ctypes.c_int, ctypes.c_float, i8p]
         lib.tt_flipflop_forward.restype = ctypes.c_float
         lib.tt_flipflop_forward.argtypes = [
-            f32p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p]
+            f32p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_void_p]
         lib.tt_flipflop_backward.restype = ctypes.c_float
         lib.tt_flipflop_backward.argtypes = [
-            f32p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p]
+            f32p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_void_p]
         _LIB = lib
         return lib
 
@@ -58,27 +63,41 @@ def forward(score, init=None):
 
     Args:
         score: [nblock, nstate] float32 transition scores.
+        init: optional [2*nbase] initial boundary scores (reference
+            semantics: None = zeros).
 
     Returns:
-        ([nblock + 1, 2*nbase] boundary scores, log partition)
+        ([nblock + 1, 2*nbase] absolute boundary scores, log partition)
     """
     score = np.ascontiguousarray(score, dtype=np.float32)
     nt, nf = score.shape
     nbase = nbase_flipflop(nf)
     out = np.zeros((nt + 1, 2 * nbase), dtype=np.float32)
+    init_ptr = None
+    if init is not None:
+        init = np.ascontiguousarray(init, dtype=np.float32)
+        assert init.shape == (2 * nbase,)
+        init_ptr = init.ctypes.data
     logz = _get_lib().tt_flipflop_forward(
-        score, nbase, nt, out.ctypes.data)
+        score, nbase, nt, out.ctypes.data, init_ptr)
     return out, float(logz)
 
 
 def backward(score, init=None):
-    """Backward partition scan (reference: decodeutil.pyx:backward)."""
+    """Backward partition scan (reference: decodeutil.pyx:backward).
+    `init` optionally seeds the final boundary (None = zeros); rows are
+    absolute, so fwd[t] + bwd[t] composes as in the reference."""
     score = np.ascontiguousarray(score, dtype=np.float32)
     nt, nf = score.shape
     nbase = nbase_flipflop(nf)
     out = np.zeros((nt + 1, 2 * nbase), dtype=np.float32)
+    init_ptr = None
+    if init is not None:
+        init = np.ascontiguousarray(init, dtype=np.float32)
+        assert init.shape == (2 * nbase,)
+        init_ptr = init.ctypes.data
     logz = _get_lib().tt_flipflop_backward(
-        score, nbase, nt, out.ctypes.data)
+        score, nbase, nt, out.ctypes.data, init_ptr)
     return out, float(logz)
 
 

@@ -14,9 +14,11 @@
 //                                int beam_width, float beamcut,
 //                                int8_t* seq_out);
 //   float tt_flipflop_forward(const float* score, size_t nbase,
-//                             size_t nblock, float* out);
+//                             size_t nblock, float* out,
+//                             const float* init);
 //   float tt_flipflop_backward(const float* score, size_t nbase,
-//                              size_t nblock, float* out);
+//                              size_t nblock, float* out,
+//                              const float* init);
 
 #include <algorithm>
 #include <cmath>
@@ -75,12 +77,16 @@ struct ArenaNode {
 extern "C" {
 
 // Forward partition scan over 2*nbase states; out (optional) is
-// [(nblock+1) x 2*nbase] boundary scores.  Init: flips 0, flops -LARGE.
+// [(nblock+1) x 2*nbase] ABSOLUTE boundary scores (the reference's
+// contract: fwd[t] + bwd[t] is meaningful, decodeutil.pyx:forward).
+// init (optional) seeds boundary 0; NULL = zeros, as the reference's
+// zero-filled result array.  Internally the scan renormalizes per block
+// for f32 safety and adds the offset back when writing rows.
 float tt_flipflop_forward(const float* score, size_t nbase, size_t nblock,
-                          float* out) {
+                          float* out, const float* init) {
     const size_t nstate = 2 * nbase;
     std::vector<float> cur(nstate), nxt(nstate);
-    for (size_t s = 0; s < nstate; s++) cur[s] = (s < nbase) ? 0.0f : NEG_LARGE;
+    for (size_t s = 0; s < nstate; s++) cur[s] = init ? init[s] : 0.0f;
     float logz = 0.0f;
     if (out) std::memcpy(out, cur.data(), nstate * sizeof(float));
     for (size_t t = 0; t < nblock; t++) {
@@ -102,21 +108,23 @@ float tt_flipflop_forward(const float* score, size_t nbase, size_t nblock,
         for (size_t s = 0; s < nstate; s++) nxt[s] -= mx;
         logz += mx;
         cur.swap(nxt);
-        if (out) std::memcpy(out + (t + 1) * nstate, cur.data(),
-                             nstate * sizeof(float));
+        if (out)
+            for (size_t s = 0; s < nstate; s++)
+                out[(t + 1) * nstate + s] = cur[s] + logz;
     }
     float acc = NEG_LARGE;
     for (size_t s = 0; s < nstate; s++) acc = logsumexp2(acc, cur[s]);
     return logz + acc;
 }
 
-// Backward partition scan; out (optional) is [(nblock+1) x 2*nbase] with
-// out[t][q] = logsum of future paths starting in state q at boundary t.
-// NOTE: rows are locally renormalized (sufficient for guiding).
+// Backward partition scan; out (optional) is [(nblock+1) x 2*nbase]
+// ABSOLUTE scores: out[t][q] = logsum of future paths starting in state
+// q at boundary t.  init (optional) seeds boundary nblock (NULL = zeros).
 float tt_flipflop_backward(const float* score, size_t nbase, size_t nblock,
-                           float* out) {
+                           float* out, const float* init) {
     const size_t nstate = 2 * nbase;
     std::vector<float> cur(nstate, 0.0f), nxt(nstate);
+    if (init) for (size_t s = 0; s < nstate; s++) cur[s] = init[s];
     float logz = 0.0f;
     if (out) std::memcpy(out + nblock * nstate, cur.data(),
                          nstate * sizeof(float));
@@ -138,8 +146,9 @@ float tt_flipflop_backward(const float* score, size_t nbase, size_t nblock,
         for (size_t s = 0; s < nstate; s++) nxt[s] -= mx;
         logz += mx;
         cur.swap(nxt);
-        if (out) std::memcpy(out + tt * nstate, cur.data(),
-                             nstate * sizeof(float));
+        if (out)
+            for (size_t s = 0; s < nstate; s++)
+                out[tt * nstate + s] = cur[s] + logz;
     }
     float acc = NEG_LARGE;
     for (size_t q = 0; q < nbase; q++) acc = logsumexp2(acc, cur[q]);

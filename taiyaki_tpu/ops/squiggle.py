@@ -167,21 +167,22 @@ def squiggle_match_viterbi_path(params, signal, back_prob, localpen=None,
         better = cand > curr[1:nfstate]
         curr[1:nfstate] = np.where(better, cand, curr[1:nfstate])
         tb[1:nfstate] = np.where(better, np.arange(nfstate - 1), tb[1:nfstate])
-        # start -> any position (local clipping of head)
-        for destpos in range(1, npos):
-            destst = destpos + 1
-            score = prev[0] + move_pen[0] - localpen * destpos
-            if score > curr[destst]:
-                curr[destst] = score
-                tb[destst] = 0
-        # any position -> end (local clipping of tail)
-        for origpos in range(npos - 1):
-            origst = origpos + 1
-            delta = npos - 1 - origpos
-            score = prev[origst] + move_pen[origst] - localpen * delta
-            if score > curr[nfstate - 1]:
-                curr[nfstate - 1] = score
-                tb[nfstate - 1] = origst
+        # start -> any position (local clipping of head), vectorized over
+        # destination positions 1..npos-1 (states 2..npos)
+        head = prev[0] + move_pen[0] - localpen * np.arange(1, npos)
+        better = head > curr[2:npos + 1]
+        curr[2:npos + 1] = np.where(better, head, curr[2:npos + 1])
+        tb[2:npos + 1] = np.where(better, 0, tb[2:npos + 1])
+        # any position -> end (local clipping of tail): only the best
+        # origin can win; argmax returns the FIRST maximum, matching the
+        # sequential loop's strict-improvement tie-break
+        origst = np.arange(1, npos)
+        tail = (prev[origst] + move_pen[origst]
+                - localpen * (npos - origst))
+        k = int(np.argmax(tail))
+        if tail[k] > curr[nfstate - 1]:
+            curr[nfstate - 1] = tail[k]
+            tb[nfstate - 1] = origst[k]
         # position p+1 -> back state p
         cand = prev[2:npos + 1] + move_back_pen
         idx = nfstate + np.arange(npos - 1)

@@ -57,7 +57,7 @@ def new_model(model_file, model_metadata=None, **model_kwargs):
     """Build a fresh network from a model-description .py file.
 
     Returns:
-        (network, params_init_fn, model_source) — call
+        (network, model_source, metadata) — call
         params = network.init(numpy_rng) to initialise.
     """
     with open(model_file) as fh:
@@ -231,7 +231,10 @@ class Progress:
 
     @property
     def line_written(self):
-        return (self.count // self.every) % self._maxlen == 0
+        """True exactly when the dot just printed completed a row
+        (reference: helpers.py:377-383)."""
+        return (self.count > 0 and self.count % self.every == 0
+                and (self.count // self.every) % self._maxlen == 0)
 
 
 def file_md5(filename, nblock=1024):
@@ -244,10 +247,31 @@ def file_md5(filename, nblock=1024):
     return hasher.hexdigest()
 
 
-def open_file_or_stdout(filename):
-    """Open a file for writing, or return stdout for None/'-'."""
-    if filename is None or filename == "-":
+class _StdoutGuard:
+    """Context manager around sys.stdout that does NOT close it on exit
+    (the reference's open_file_or_stdout guard, helpers.py:386-413) —
+    callers use `with open_file_or_stdout(...)` and a bare sys.stdout
+    would be closed by file.__exit__, breaking every later write."""
+
+    def __enter__(self):
         return sys.stdout
+
+    def __exit__(self, *exc):
+        sys.stdout.flush()
+        return False
+
+    def write(self, data):
+        return sys.stdout.write(data)
+
+    def flush(self):
+        return sys.stdout.flush()
+
+
+def open_file_or_stdout(filename):
+    """Open a file for writing, or a non-closing stdout wrapper for
+    None/'-'."""
+    if filename is None or filename == "-":
+        return _StdoutGuard()
     return open(filename, "w")
 
 
@@ -257,6 +281,9 @@ def prepare_outdir(outdir, overwrite=False):
         if not overwrite:
             sys.exit("Output directory {} exists — use --overwrite to "
                      "proceed".format(outdir))
+        if not os.path.isdir(outdir):
+            raise NotADirectoryError(
+                "{} exists and is not a directory".format(outdir))
     else:
         os.makedirs(outdir, exist_ok=True)
 

@@ -16,22 +16,46 @@ def built():
     decodeutil._get_lib()
 
 
-def test_forward_backward_partition_agree():
+def _lse(v):
+    m = np.max(v)
+    return m + np.log(np.sum(np.exp(v - m)))
+
+
+def test_forward_backward_rows_agree():
+    """Reference contract (test_decodeutil.py:test_fwd_score_equals_bwd
+    _score): with default (zero) inits, logsumexp(fwd[-1]) ==
+    logsumexp(bwd[0]), and fwd[t] + bwd[t] composes to the same constant
+    at every boundary (rows are ABSOLUTE, seeded by init)."""
     rng = np.random.default_rng(0)
     for nbase in (2, 4):
         S = flipflopfings.nstate_flipflop(nbase)
         x = rng.normal(size=(20, S)).astype(np.float32)
-        _, logz_f = decodeutil.forward(x)
-        _, logz_b = decodeutil.backward(x)
-        assert abs(logz_f - logz_b) < 1e-3
+        fwd, _ = decodeutil.forward(x)
+        bwd, _ = decodeutil.backward(x)
+        f_score = _lse(fwd[-1])
+        b_score = _lse(bwd[0])
+        assert abs(f_score - b_score) < 1e-3
+        comp = np.array([_lse(fwd[t] + bwd[t]) for t in range(len(fwd))])
+        np.testing.assert_allclose(comp, f_score, atol=2e-3)
 
 
 def test_partition_matches_jax_logz():
+    """Reference contract (test_fwd_equals_global_norm /
+    test_bwd_equals_global_norm): flip-only-init forward rows and the
+    flip slice of zero-init backward rows both reproduce the training
+    partition function."""
     rng = np.random.default_rng(1)
     x = rng.normal(size=(15, 40)).astype(np.float32)
-    _, logz_c = decodeutil.forward(x)
+    nbase = 4
     logz_j = float(flipflop_logz(x[:, None, :])[0])
-    assert abs(logz_c - logz_j) < 1e-3
+    init = np.zeros(2 * nbase, dtype=np.float32)
+    init[nbase:] = -50000.0
+    fwd, _ = decodeutil.forward(x, init=init)
+    assert abs(_lse(fwd[-1]) - logz_j) < 1e-3
+    bwd, logz_b = decodeutil.backward(x)
+    assert abs(_lse(bwd[0, :nbase]) - logz_j) < 1e-3
+    # the C return value is exactly that flips-only quantity
+    assert abs(logz_b - logz_j) < 1e-3
 
 
 def test_beamsearch_recovers_planted_sequence():
