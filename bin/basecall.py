@@ -337,7 +337,9 @@ def main():
     # basecalls track the CPU reference as closely as the MXU allows
     # (the Pallas kernels honor the same switch via TAIYAKI_TPU_F32_GATES)
     jax.config.update("jax_default_matmul_precision", "highest")
-    if args.device == "cpu":
+    # honor an explicit JAX_PLATFORMS=cpu (see prepare_mapped_reads.py:
+    # this environment's sitecustomize stomps the env var)
+    if args.device == "cpu" or os.environ.get("JAX_PLATFORMS") == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
     from taiyaki_tpu.data import fast5utils
