@@ -70,36 +70,53 @@ def convert_layer(ref_layer):
             ", ".join(s[0] for s in subs)),
             {"sublayers": [s[1] for s in subs]})
     if name == "Convolution":
+        # non-default padding must ride along or output length changes;
+        # the reference stores it as a ConstantPad1d module
+        pad_mod = getattr(ref_layer, "pad", None)
+        pad = (tuple(pad_mod.padding) if pad_mod is not None
+               else (ref_layer.winlen // 2, (ref_layer.winlen - 1) // 2))
+        default_pad = (ref_layer.winlen // 2, (ref_layer.winlen - 1) // 2)
+        pad_src = "" if pad == default_pad else ", pad={}".format(pad)
         src = ("layers.Convolution({}, {}, {}, stride={}, "
-               "fun=activation.{})".format(
+               "has_bias={}{}, fun=activation.{})".format(
                    ref_layer.insize, ref_layer.size, ref_layer.winlen,
-                   ref_layer.stride, ref_layer.activation.__name__))
+                   ref_layer.stride, ref_layer.has_bias, pad_src,
+                   ref_layer.activation.__name__))
         p = {"W": t2n(ref_layer.conv.weight)}
         if ref_layer.has_bias:
             p["b"] = t2n(ref_layer.conv.bias)
         return src, p
     if name == "GruMod":
-        src = "layers.GruMod({}, {})".format(ref_layer.insize,
-                                             ref_layer.size)
-        return src, {"iW": t2n(ref_layer.cudnn_gru.weight_ih_l0),
-                     "sW": t2n(ref_layer.cudnn_gru.weight_hh_l0),
-                     "b": t2n(ref_layer.cudnn_gru.bias_ih_l0)}
+        has_bias = bool(getattr(ref_layer, "has_bias", True))
+        src = "layers.GruMod({}, {}, has_bias={})".format(
+            ref_layer.insize, ref_layer.size, has_bias)
+        p = {"iW": t2n(ref_layer.cudnn_gru.weight_ih_l0),
+             "sW": t2n(ref_layer.cudnn_gru.weight_hh_l0)}
+        # our GruMod keeps a (zero, untrained) b leaf when has_bias=False
+        p["b"] = (t2n(ref_layer.cudnn_gru.bias_ih_l0) if has_bias
+                  else np.zeros(3 * ref_layer.size, dtype=np.float32))
+        return src, p
     if name == "Lstm":
-        src = "layers.Lstm({}, {})".format(ref_layer.insize, ref_layer.size)
-        return src, {"iW": t2n(ref_layer.lstm.weight_ih_l0),
-                     "sW": t2n(ref_layer.lstm.weight_hh_l0),
-                     "b": t2n(ref_layer.lstm.bias_ih_l0)}
+        has_bias = bool(getattr(ref_layer, "has_bias", True))
+        src = "layers.Lstm({}, {}, has_bias={})".format(
+            ref_layer.insize, ref_layer.size, has_bias)
+        p = {"iW": t2n(ref_layer.lstm.weight_ih_l0),
+             "sW": t2n(ref_layer.lstm.weight_hh_l0)}
+        p["b"] = (t2n(ref_layer.lstm.bias_ih_l0) if has_bias
+                  else np.zeros(4 * ref_layer.size, dtype=np.float32))
+        return src, p
     if name == "FeedForward":
-        src = "layers.FeedForward({}, {}, fun=activation.{})".format(
-            ref_layer.insize, ref_layer.size,
-            ref_layer.activation.__name__)
+        src = ("layers.FeedForward({}, {}, has_bias={}, "
+               "fun=activation.{})".format(
+                   ref_layer.insize, ref_layer.size, ref_layer.has_bias,
+                   ref_layer.activation.__name__))
         p = {"W": t2n(ref_layer.linear.weight)}
         if ref_layer.has_bias:
             p["b"] = t2n(ref_layer.linear.bias)
         return src, p
     if name == "GlobalNormFlipFlop":
-        src = "layers.GlobalNormFlipFlop({}, {})".format(
-            ref_layer.insize, ref_layer.nbase)
+        src = "layers.GlobalNormFlipFlop({}, {}, has_bias={})".format(
+            ref_layer.insize, ref_layer.nbase, ref_layer.has_bias)
         p = {"W": t2n(ref_layer.linear.weight)}
         if ref_layer.has_bias:
             p["b"] = t2n(ref_layer.linear.bias)

@@ -47,19 +47,22 @@ def get_parser():
     return parser
 
 
-def check_version(msr, filename):
-    if msr.version != msf_version:
-        raise Exception(
-            "File version of {} ({}) does not match this build's format "
-            "version ({})".format(filename, msr.version, msf_version))
+def open_checked(fn, **kwargs):
+    """Open a mapped-signal reader, converting the constructor's bare
+    version assertion into a per-filename message (the readers assert
+    before any check_version-style hook could run)."""
+    try:
+        return MappedSignalReader(fn, **kwargs)
+    except AssertionError as e:
+        sys.exit("File version of {} does not match this build's format "
+                 "version ({}): {}".format(fn, msf_version, e))
 
 
 def merge_alphabets(in_fns):
     """Union of alphabets across files; errors on inconsistent codes."""
     all_ai = []
     for fn in in_fns:
-        with MappedSignalReader(fn) as msr:
-            check_version(msr, fn)
+        with open_checked(fn) as msr:
             all_ai.append(msr.get_alphabet_information())
     can_bases = all_ai[0].can_bases
     if not all(ai.can_bases == can_bases for ai in all_ai):
@@ -104,12 +107,10 @@ def main():
     if args.allow_mod_merge:
         out_ai = merge_alphabets(in_fns)
     else:
-        with MappedSignalReader(in_fns[0]) as msr:
-            check_version(msr, in_fns[0])
+        with open_checked(in_fns[0]) as msr:
             out_ai = msr.get_alphabet_information()
         for fn in in_fns[1:]:
-            with MappedSignalReader(fn) as msr:
-                check_version(msr, fn)
+            with open_checked(fn) as msr:
                 if not msr.get_alphabet_information().equals(out_ai):
                     sys.exit(
                         "Alphabets do not match (pass --allow_mod_merge "
@@ -121,18 +122,21 @@ def main():
     with MappedSignalWriter(args.output, out_ai,
                             args.batch_format) as msw:
         for fn, limit in zip(in_fns, limits):
-            with MappedSignalReader(fn) as msr:
+            with open_checked(fn,
+                              load_in_mem=args.load_in_mem) as msr:
                 src_ai = msr.get_alphabet_information()
                 conv = (label_conversion(src_ai, out_ai)
                         if args.allow_mod_merge else None)
                 read_ids = msr.get_read_ids()
+                # exclude already-written ids BEFORE applying the limit,
+                # as the reference does (add_file_reads): duplicates must
+                # not eat into the requested per-file count
+                n_dup += sum(1 for rid in read_ids if rid in seen)
+                read_ids = [rid for rid in read_ids if rid not in seen]
                 if limit is not None and limit < len(read_ids):
                     read_ids = list(np.random.choice(
                         read_ids, limit, replace=False))
                 for read in msr.reads(read_ids):
-                    if read.read_id in seen:
-                        n_dup += 1
-                        continue
                     seen.add(read.read_id)
                     rd = read.get_read_dictionary()
                     if conv is not None:

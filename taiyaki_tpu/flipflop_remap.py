@@ -104,7 +104,9 @@ def flipflop_remap(transition_scores, sequence, alphabet=DEFAULT_ALPHABET,
         mapped span runs 0 .. len(sequence)-1 monotonically.
     """
     nbase = len(alphabet)
-    bases = np.array([alphabet.index(b) for b in sequence])
+    # .find like the reference (flipflop_remap.py:132): an out-of-alphabet
+    # base degrades (-1 wraps) instead of aborting the whole remap run
+    bases = np.array([alphabet.find(b) for b in sequence])
     flops = flipflopfings.flopmask(bases)
 
     # Stay columns: flip b stays at b*(2*nbase)+b; flop stays in the final

@@ -48,9 +48,10 @@ class Alignment:
 
     @property
     def query_length(self):
-        """Full query length including soft (and hard) clips."""
+        """Length of the stored query sequence: soft clips included,
+        HARD clips excluded — pysam's query_length, which the reference's
+        coverage filter divides by (bin/get_refs_from_sam.py:58)."""
         n = sum(ln for op, ln in self.cigar if op in "MIS=X")
-        n += sum(ln for op, ln in self.cigar if op == "H")
         if n == 0 and self.seq:
             n = len(self.seq)
         return n
@@ -111,25 +112,34 @@ def _iter_sam_text(fh):
 
 
 def _iter_bam(fh):
-    data = gzip.open(fh, "rb").read()
-    assert data[:4] == b"BAM\x01", "Not a BAM file"
-    pos = 4
-    l_text, = struct.unpack_from("<i", data, pos)
-    pos += 4 + l_text
-    n_ref, = struct.unpack_from("<i", data, pos)
-    pos += 4
+    # stream-decompress: whole nanopore BAMs decompress to multiple GB,
+    # so never hold the full file in one bytes object
+    gz = gzip.open(fh, "rb")
+
+    def read_exact(n):
+        buf = gz.read(n)
+        while len(buf) < n:
+            more = gz.read(n - len(buf))
+            if not more:
+                raise EOFError("truncated BAM")
+            buf += more
+        return buf
+
+    assert read_exact(4) == b"BAM\x01", "Not a BAM file"
+    l_text, = struct.unpack("<i", read_exact(4))
+    read_exact(l_text)
+    n_ref, = struct.unpack("<i", read_exact(4))
     refs = []
     for _ in range(n_ref):
-        l_name, = struct.unpack_from("<i", data, pos)
-        pos += 4
-        refs.append(data[pos:pos + l_name - 1].decode())
-        pos += l_name
-        pos += 4  # l_ref
-    while pos < len(data):
-        block_size, = struct.unpack_from("<i", data, pos)
-        pos += 4
-        rec = data[pos:pos + block_size]
-        pos += block_size
+        l_name, = struct.unpack("<i", read_exact(4))
+        refs.append(read_exact(l_name)[:-1].decode())
+        read_exact(4)  # l_ref
+    while True:
+        head = gz.read(4)
+        if len(head) < 4:
+            break
+        block_size, = struct.unpack("<i", head)
+        rec = read_exact(block_size)
         (ref_id, pos0, l_read_name, mapq, _bin, n_cigar, flag, l_seq,
          _next_ref, _next_pos, _tlen) = struct.unpack_from(
              "<iiBBHHHiiii", rec, 0)
