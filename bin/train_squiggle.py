@@ -103,8 +103,11 @@ def network(size={size}, depth={depth}, winlen={winlen}, **kwargs):
 def main():
     args = get_parser().parse_args()
     import jax
-    if args.device == "cpu":
+    if args.device == "cpu" or os.environ.get("JAX_PLATFORMS") == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    elif isinstance(args.device, int):
+        jax.config.update("jax_default_device",
+                          jax.devices()[args.device])
     import jax.numpy as jnp
     import optax
 
@@ -128,9 +131,17 @@ def main():
         assert alphabet_info.nbase == 4, (
             "Squiggle prediction with modified base training data is not "
             "currently supported.")
-        read_data = list(msr.reads())
-        if args.limit is not None:
-            read_data = read_data[:args.limit]
+        if args.input_strand_list is not None:
+            from taiyaki_tpu.utils.fileio import readtsv
+            read_ids = list(readtsv(args.input_strand_list,
+                                    ["read_id"])["read_id"])
+            log.write("* Will train from a subset of {} strands\n".format(
+                len(read_ids)))
+        else:
+            read_ids = None
+        # islice: never materialize the whole file before --limit
+        from itertools import islice
+        read_data = list(islice(msr.reads(read_ids), args.limit))
     if len(read_data) == 0:
         log.write("* No reads remaining for training, exiting.\n")
         sys.exit(1)
@@ -165,15 +176,17 @@ def main():
                       eps=args.eps, weight_decay=args.weight_decay)
     opt_state = opt.init(params)
 
-    def loss_fn(p, seq_embed, signals, siglens):
+    def loss_fn(p, seq_embed, signals, siglens, valid):
         pred = net.apply(p, seq_embed)
         costs = squiggle_match_cost(pred, signals, siglens, args.back_prob)
-        return jnp.sum(costs) / jnp.sum(siglens)
+        # padded (repeated) columns carry weight 0 so short batches match
+        # the reference's sum(costs)/sum(siglens) over REAL chunks only
+        return jnp.sum(costs * valid) / jnp.sum(siglens * valid)
 
     @jax.jit
-    def train_step(p, opt_state, seq_embed, signals, siglens):
+    def train_step(p, opt_state, seq_embed, signals, siglens, valid):
         loss, grads = jax.value_and_grad(loss_fn)(
-            p, seq_embed, signals, siglens)
+            p, seq_embed, signals, siglens, valid)
         updates, opt_state = opt.update(grads, opt_state, p)
         return optax.apply_updates(p, updates), opt_state, loss
 
@@ -201,15 +214,17 @@ def main():
                                              alphabet=None)
             signals[:chunk.sig_len, j] = revop(chunk.current)
             siglens[j] = chunk.sig_len
-        # pad batch to static size
+        # pad batch to static size; padded columns get loss weight 0
+        valid = np.ones(args.batch_size, dtype=np.float32)
         if n < args.batch_size:
             reps = [j % n for j in range(args.batch_size - n)]
             seq_embed = np.concatenate([seq_embed, seq_embed[:, reps]], 1)
             signals = np.concatenate([signals, signals[:, reps]], 1)
             siglens = np.concatenate([siglens, siglens[reps]])
+            valid[n:] = 0.0
         params, opt_state, loss = train_step(
             params, opt_state, jnp.asarray(seq_embed), jnp.asarray(signals),
-            jnp.asarray(siglens))
+            jnp.asarray(siglens), jnp.asarray(valid))
         score_smoothed.update(float(loss))
 
         if (i + 1) % args.save_every == 0:

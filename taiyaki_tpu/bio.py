@@ -24,7 +24,11 @@ def reverse_complement(seq, compdict=_COMPLEMENT):
 
 
 def iter_fasta(fh):
-    """Yield (name, sequence) records from an open fasta file handle."""
+    """Yield (name, sequence) records from an open fasta file handle.
+
+    Empty-sequence and empty-name records are preserved — SeqIO (which
+    the reference parses with) yields them, and dropping one desyncs
+    index-keyed reference dicts (train_abinitio)."""
     name = None
     parts = []
     for line in fh:
@@ -32,13 +36,14 @@ def iter_fasta(fh):
         if not line:
             continue
         if line.startswith(">"):
-            if name is not None and parts:
+            if name is not None:
                 yield name, "".join(parts)
-            name = line[1:].split()[0]
+            fields = line[1:].split()
+            name = fields[0] if fields else ""
             parts = []
         else:
             parts.append(line)
-    if name is not None and parts:
+    if name is not None:
         yield name, "".join(parts)
 
 

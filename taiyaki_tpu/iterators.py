@@ -43,17 +43,25 @@ def _apply(function, fix_args, fix_kwargs, item):
 
 
 def try_except_pass(func, *args, **kwargs):
-    """Call func, returning None on any exception."""
+    """Call func, returning None on any exception — with the traceback
+    printed to stderr first (reference iterators.py: silent failures in
+    worker pipelines are undebuggable otherwise)."""
     try:
         return func(*args, **kwargs)
     except Exception:
+        import sys
+        import traceback
+        sys.stderr.write(traceback.format_exc())
         return None
 
 
 def empty_iterator(it):
-    """True if the iterator yields nothing (consumes one element)."""
+    """(is_empty, iterator) — the reference contract (used by
+    fileio.read_chunks): peeks via itertools.chain so NO element is
+    lost from the returned iterator."""
+    import itertools
     try:
-        next(it)
+        first = next(it)
     except StopIteration:
-        return True
-    return False
+        return True, it
+    return False, itertools.chain([first], it)

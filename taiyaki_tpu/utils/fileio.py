@@ -1,7 +1,9 @@
 """TSV / delimited file IO (reference: taiyaki/fileio.py).
 
-readtsv loads a whitespace/tab-separated file with a header row into a numpy
-recarray, transparently handling .gz/.bz2.
+readtsv loads a TAB-separated file with a header row into a numpy
+recarray, transparently handling .gz/.bz2.  Tab (not whitespace)
+delimiting matters: fast5 filenames in strand lists may contain spaces
+(reference fileio.py:118 uses delimiter='\t').
 """
 
 import bz2
@@ -19,11 +21,12 @@ def _open_any(filename, mode="rt"):
 
 
 def file_has_fields(filename, fields=None):
-    """True if the file's header row contains every named field."""
+    """True if the file's TAB-separated header row contains every named
+    field (reference: fileio.py:30-61)."""
     if fields is None:
         return True
     with _open_any(filename) as fh:
-        header = fh.readline().strip().split()
+        header = fh.readline().rstrip("\n").split("\t")
     present = set(header)
     return all(f in present for f in fields)
 
@@ -37,23 +40,31 @@ def readtsv(filename, fields=None, **kwargs):
     if not file_has_fields(filename, fields):
         raise KeyError("File {} does not contain requested required fields "
                        "{}".format(filename, fields))
+    kwargs.setdefault("delimiter", "\t")
     table = np.genfromtxt(filename, names=True, dtype=None,
                           encoding="utf-8", **kwargs)
     # genfromtxt of a single row returns 0-d; normalise to 1-d
     return np.atleast_1d(table).view(np.recarray)
 
 
-def read_chunks(filename, chunk_size=10000):
-    """Yield successive recarray chunks of a large TSV."""
+def read_chunks(filename, n_lines, n_chunks=None, header=True):
+    """Yield successive chunks of a file as LINE ITERATORS (the
+    reference's contract, fileio.py:64-91: raw lines, so no dtype
+    truncation and ragged rows pass through untouched).  The first chunk
+    includes the header line when header=True."""
+    from itertools import islice
+
+    from taiyaki_tpu.iterators import empty_iterator
     with _open_any(filename) as fh:
-        header = fh.readline().strip().split()
-        rows = []
-        for line in fh:
-            rows.append(tuple(line.strip().split()))
-            if len(rows) >= chunk_size:
-                yield np.array(rows, dtype=[(h, "U64") for h in header]).view(
-                    np.recarray)
-                rows = []
-        if rows:
-            yield np.array(rows, dtype=[(h, "U64") for h in header]).view(
-                np.recarray)
+        first = True
+        yielded = 0
+        while True:
+            n = n_lines + (1 if first and header else 0)
+            first = False
+            is_empty, sl = empty_iterator(islice(fh, n))
+            if is_empty:
+                break
+            yield sl
+            yielded += 1
+            if n_chunks is not None and yielded == n_chunks:
+                break
