@@ -50,15 +50,28 @@ def call_bwa_mem(fin, fout, genome, clargs=""):
 
 
 def _looks_like_alignment(fn):
+    """SAM/BAM detection that cannot misfire on FASTQ: FASTQ records
+    also start with '@' (and .fastq.gz shares the gzip magic), so
+    require the BAM\\x01 magic after gunzip or a real SAM header tag
+    (@HD/@SQ/@RG/@PG/@CO followed by a tab)."""
+    import gzip
     with open(fn, "rb") as fh:
         head = fh.read(4)
     if head[:2] == b"\x1f\x8b":
-        return True  # BAM
+        try:
+            with gzip.open(fn, "rb") as gz:
+                return gz.read(4) == b"BAM\x01"
+        except OSError:
+            return False
     try:
-        text = head.decode()
+        with open(fn, "rt") as fh:
+            line = fh.readline()
     except UnicodeDecodeError:
         return False
-    return text.startswith("@")  # SAM header
+    tag = line[:3]
+    return (line.startswith("@")
+            and tag in ("@HD", "@SQ", "@RG", "@PG", "@CO")
+            and (len(line) <= 3 or line[3] in "\t\n"))
 
 
 def main():

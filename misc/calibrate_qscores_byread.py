@@ -56,6 +56,8 @@ def iter_fastq(path):
             header = fh.readline()
             if not header:
                 return
+            if not header.strip():
+                continue  # trailing blank line / concatenation artifact
             seq = fh.readline().strip()
             fh.readline()
             qual = fh.readline().strip()
@@ -86,7 +88,10 @@ def read_fastqs(fastqlist, maxreads=None):
 def get_alignment_data(alignment_file):
     """Accuracy + aligned length per read from a Guppy summary or a
     .samacc from misc/assess_alignment.py."""
-    t = fileio.readtsv(alignment_file)
+    # delimiter=None: .samacc files from misc/assess_alignment.py are
+    # space-separated (the reference passed delimiter=None here too);
+    # Guppy summaries still parse (any whitespace splits them)
+    t = fileio.readtsv(alignment_file, delimiter=None)
     names = t.dtype.names
     if "alignment_accuracy" in names:
         print("Interpreted alignment file as Guppy output")
@@ -104,18 +109,27 @@ def get_alignment_data(alignment_file):
 
 
 def merge_align_fastq_data(fastq_ids, align_ids, align_acc, align_lens):
+    """Best alignment per fastq read.  One-pass dict index (the naive
+    per-read array scan is O(n_fastq * n_align)); NaN accuracies (rows
+    that did not align) never win over a real alignment."""
+    from collections import defaultdict
     n = len(fastq_ids)
     out_acc = np.full(n, np.nan)
     out_len = np.full(n, -1)
-    align_ids = np.asarray([str(a) for a in align_ids])
+    align_lens = np.asarray(align_lens)
+    by_id = defaultdict(list)
+    for j, aid in enumerate(align_ids):
+        by_id[str(aid)].append(j)
     for i, rid in enumerate(fastq_ids):
-        mask = align_ids == rid
-        if not mask.any():
+        idx = by_id.get(rid)
+        if not idx:
             continue
-        accs, lens = align_acc[mask], np.asarray(align_lens)[mask]
-        best = np.argmax(accs)
+        accs = align_acc[idx]
+        if np.isnan(accs).all():
+            continue
+        best = int(np.nanargmax(accs))
         out_acc[i] = accs[best]
-        out_len[i] = lens[best]
+        out_len[i] = align_lens[idx][best]
     return out_acc, out_len
 
 

@@ -45,10 +45,11 @@ def convert_json_layer(jsn):
             p["b"] = np.array(jsn["params"]["b"], dtype=np.float32)
         pad = jsn.get("padding")
         src = ("layers.Convolution({insize}, {size}, {winlen}, "
-               "stride={stride}, pad={pad}, fun=activation.{act})").format(
+               "stride={stride}, pad={pad}, has_bias={bias}, "
+               "fun=activation.{act})").format(
             insize=jsn["insize"], size=jsn["size"], winlen=jsn["winlen"],
             stride=jsn["stride"], pad=tuple(pad) if pad else None,
-            act=jsn["activation"])
+            bias=bool(jsn.get("bias", True)), act=jsn["activation"])
         return src, p
     if t == "LSTM":
         size, insize = jsn["size"], jsn["insize"]
@@ -72,8 +73,11 @@ def convert_json_layer(jsn):
         p = {"W": np.array(jsn["params"]["W"], np.float32)}
         if jsn.get("bias", True):
             p["b"] = np.array(jsn["params"]["b"], np.float32)
-        return ("layers.GlobalNormFlipFlop({}, {}, scale={})".format(
-            jsn["insize"], nbase, jsn.get("scale", 5.0)), p)
+        return ("layers.GlobalNormFlipFlop({}, {}, scale={}, "
+                "has_bias={}, fun=activation.{})".format(
+                    jsn["insize"], nbase, jsn.get("scale", 5.0),
+                    bool(jsn.get("bias", True)),
+                    jsn.get("activation", "tanh")), p)
     if t == "GlobalNormTwoStateCatMod":
         p = {"W": np.array(jsn["params"]["W"], np.float32)}
         if jsn.get("bias", True):
@@ -91,8 +95,9 @@ def convert_json_layer(jsn):
             i += 1 + nmod
         collapse = "".join(collapse)
         src = ("layers.GlobalNormFlipFlopCatMod({}, AlphabetInfo({!r}, "
-               "{!r}, {!r}))").format(jsn["insize"], alphabet, collapse,
-                                      list(long_names))
+               "{!r}, {!r}), has_bias={})").format(
+            jsn["insize"], alphabet, collapse, list(long_names),
+            bool(jsn.get("bias", True)))
         return src, p
     raise NotImplementedError("JSON layer type {} not supported".format(t))
 
