@@ -48,23 +48,25 @@ def readtsv(filename, fields=None, **kwargs):
 
 
 def read_chunks(filename, n_lines, n_chunks=None, header=True):
-    """Yield successive chunks of a file as LINE ITERATORS (the
+    """Yield successive chunks of a file as LISTS OF RAW LINES (the
     reference's contract, fileio.py:64-91: raw lines, so no dtype
-    truncation and ragged rows pass through untouched).  The first chunk
-    includes the header line when header=True."""
+    truncation and ragged rows pass through untouched; materialized per
+    chunk so they outlive the file handle).  The first chunk includes
+    the header line when header=True."""
     from itertools import islice
 
-    from taiyaki_tpu.iterators import empty_iterator
     with _open_any(filename) as fh:
         first = True
         yielded = 0
         while True:
             n = n_lines + (1 if first and header else 0)
             first = False
-            is_empty, sl = empty_iterator(islice(fh, n))
-            if is_empty:
+            # materialize the chunk (bounded by n_lines) so it stays
+            # valid after the file closes / the generator advances
+            chunk = list(islice(fh, n))
+            if not chunk:
                 break
-            yield sl
+            yield chunk
             yielded += 1
             if n_chunks is not None and yielded == n_chunks:
                 break

@@ -113,3 +113,50 @@ def test_progress_counts(capsys):
     for _ in range(5):
         prog.step()
     assert prog.count == 5
+
+
+def test_readtsv_fields_with_spaces(tmp_path):
+    """Tab delimiting (the reference's) must survive spaces inside a
+    field — fast5 filenames in strand lists can contain them."""
+    p = tmp_path / "sl.tsv"
+    p.write_text("filename_fast5\tread_id\nrun 1_read.fast5\tabc-123\n")
+    t = fileio.readtsv(str(p), fields=["filename_fast5", "read_id"])
+    assert t["filename_fast5"][0] == "run 1_read.fast5"
+    assert t["read_id"][0] == "abc-123"
+
+
+def test_empty_iterator_preserves_elements():
+    is_empty, it = iterators.empty_iterator(iter([1, 2, 3]))
+    assert not is_empty
+    assert list(it) == [1, 2, 3]
+    is_empty, it = iterators.empty_iterator(iter([]))
+    assert is_empty
+
+
+def test_read_chunks_yields_line_iterators(tmp_path):
+    p = tmp_path / "big.tsv"
+    field = "x" * 80  # longer than any fixed-width dtype would keep
+    p.write_text("h1\th2\n" + "".join(
+        "{}\t{}\n".format(field, i) for i in range(5)))
+    chunks = list(fileio.read_chunks(str(p), 2))
+    lines = [line for chunk in chunks for line in chunk]
+    assert len(lines) == 6  # header + 5 rows
+    assert field in lines[1]
+
+
+def test_iter_fasta_empty_records(tmp_path):
+    from taiyaki_tpu import bio
+    p = tmp_path / "refs.fa"
+    p.write_text(">a\nACGT\n>empty\n>b\nGG\n>\nTT\n")
+    with open(p) as fh:
+        records = dict(bio.iter_fasta(fh))
+    assert records == {"a": "ACGT", "empty": "", "b": "GG", "": "TT"}
+
+
+def test_open_file_or_stdout_does_not_close_stdout(capsys):
+    import sys
+    with helpers.open_file_or_stdout(None) as fh:
+        fh.write("hello\n")
+    assert not sys.stdout.closed
+    print("still alive")  # must not raise
+    assert "still alive" in capsys.readouterr().out
