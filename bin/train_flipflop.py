@@ -184,7 +184,11 @@ def main(args):
     optimizer, schedule = train.make_optimizer(
         args.lr_max, args.niteration, args.warmup_batches, lr_warmup,
         args.lr_min, adam_betas=tuple(args.adam), eps=args.eps,
-        weight_decay=args.weight_decay)
+        weight_decay=args.weight_decay, min_momentum=args.min_momentum)
+    if args.min_momentum is not None:
+        logs.main.write(
+            '* Momentum cycling between {} and {} (inverse to LR).\n'
+            .format(args.adam[0], args.min_momentum))
     opt_state = optimizer.init(params) if opt_state_ckpt is None \
         else opt_state_ckpt
     logs.main.write(

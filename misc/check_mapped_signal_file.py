@@ -56,6 +56,7 @@ def main():
             print("* Mean dwell over sampled reads: median {:.2f} "
                   "(range {:.2f}-{:.2f})".format(
                       float(np.median(dwells)), min(dwells), max(dwells)))
+        if lens:  # independent of dwell: print even if nothing mapped
             print("* Reference lengths: median {:.0f} "
                   "(range {}-{})".format(
                       float(np.median(lens)), min(lens), max(lens)))

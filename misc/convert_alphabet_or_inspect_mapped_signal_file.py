@@ -71,11 +71,21 @@ def main():
             sys.exit("Specified current modified base ({}) not found in "
                      "file.".format(curr))
         alphabet[ai.alphabet.index(curr)] = new
+    # rename against the ORIGINAL names (reference semantics): chained
+    # conversions must not see each other's results, and the attr is
+    # newline-joined so new names must not contain newlines
+    orig_long_names = list(ai.mod_long_names)
     for curr, new in args.mod_long_name_convert:
-        if curr not in long_names:
+        assert "\n" not in new, (
+            "Modified base long names cannot contain newlines")
+        if curr not in orig_long_names:
             sys.exit("Specified current long name ({}) not found in "
                      "file.".format(curr))
-        long_names[long_names.index(curr)] = new
+        long_names[orig_long_names.index(curr)] = new
+
+    if not (args.can_base_convert or args.mod_base_convert
+            or args.mod_long_name_convert):
+        sys.exit("No new alphabet information provided.")
 
     with h5py.File(args.input, "r+") as h5:
         h5.attrs["alphabet"] = "".join(alphabet)

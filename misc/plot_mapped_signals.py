@@ -59,7 +59,16 @@ def main():
                     sys.stderr.write(
                         "Reading first {} read ids in file {}\n".format(
                             args.nreads, ms_fn))
-            for nread, read in enumerate(msr.reads(read_ids)):
+            # preserve the user-given order and warn about missing ids
+            # (msr.reads sorts for determinism and drops absentees)
+            present = set(msr.get_read_ids())
+            missing = [r for r in read_ids if r not in present]
+            for rid in missing:
+                sys.stderr.write(
+                    "* Warning: read id {} not in {}\n".format(rid, ms_fn))
+            ordered = (msr.get_read(rid) for rid in read_ids
+                       if rid in present)
+            for nread, read in enumerate(ordered):
                 mapped = read.Ref_to_signal >= 0
                 if mapped.sum() == 0:
                     continue

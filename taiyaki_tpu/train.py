@@ -32,9 +32,15 @@ from taiyaki_tpu.ops import flipflop as ffops
 # -- optimizer ---------------------------------------------------------------
 
 def make_optimizer(lr_max, niteration, warmup_batches, lr_warmup, lr_min,
-                   adam_betas=(0.9, 0.999), eps=1e-6, weight_decay=0.01):
+                   adam_betas=(0.9, 0.999), eps=1e-6, weight_decay=0.01,
+                   min_momentum=None):
     """AdamW + one-cycle cosine LR, mirroring the reference's
     torch.optim.AdamW + OneCycleLR setup (bin/train_flipflop.py:406-429).
+
+    min_momentum enables the reference's momentum cycling
+    (OneCycleLR cycle_momentum: beta1 anneals INVERSELY to the LR, from
+    adam_betas[0] down to min_momentum over the warmup and back over
+    the decay).
 
     Returns:
         (optax GradientTransformation, schedule_fn)
@@ -52,9 +58,28 @@ def make_optimizer(lr_max, niteration, warmup_batches, lr_warmup, lr_min,
             pct_start=warmup_batches / niteration,
             div_factor=lr_max / lr_warmup,
             final_div_factor=lr_warmup / lr_min)
-    opt = optax.adamw(learning_rate=schedule, b1=adam_betas[0],
-                      b2=adam_betas[1], eps=eps,
-                      weight_decay=weight_decay)
+    if min_momentum is None:
+        opt = optax.adamw(learning_rate=schedule, b1=adam_betas[0],
+                          b2=adam_betas[1], eps=eps,
+                          weight_decay=weight_decay)
+    else:
+        m_max, m_min = adam_betas[0], min_momentum
+        warm = max(1, warmup_batches)
+        decay_steps = max(1, niteration - warm)
+
+        def b1_schedule(step):
+            step = jnp.asarray(step, jnp.float32)
+            up_frac = jnp.minimum(step / warm, 1.0)
+            up = m_max + (m_min - m_max) * 0.5 * (
+                1.0 - jnp.cos(jnp.pi * up_frac))
+            down_frac = jnp.clip((step - warm) / decay_steps, 0.0, 1.0)
+            down = m_min + (m_max - m_min) * 0.5 * (
+                1.0 - jnp.cos(jnp.pi * down_frac))
+            return jnp.where(step < warm, up, down)
+
+        opt = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=schedule, b1=b1_schedule, b2=adam_betas[1],
+            eps=eps, weight_decay=weight_decay)
     return opt, schedule
 
 
