@@ -202,3 +202,25 @@ def test_grad_accumulation_matches_fused_step(setup):
     for a, b in zip(jax.tree.leaves(p_acc), jax.tree.leaves(p_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_momentum_cycling_schedule():
+    """--min_momentum wires the reference's OneCycleLR momentum cycling:
+    beta1 anneals inversely to the LR (max -> min over warmup, min ->
+    max over the decay) and the optimizer still steps finitely."""
+    import jax.numpy as jnp
+    import optax
+    opt, _ = train.make_optimizer(
+        lr_max=4e-3, niteration=100, warmup_batches=20, lr_warmup=1e-4,
+        lr_min=1e-4, adam_betas=(0.9, 0.999), min_momentum=0.85)
+    params = {"w": jnp.ones((4, 4))}
+    state = opt.init(params)
+    # inject_hyperparams exposes the scheduled b1 value
+    assert abs(float(state.hyperparams["b1"]) - 0.9) < 1e-6
+    for step in range(25):
+        grads = {"w": jnp.full((4, 4), 0.1)}
+        updates, state = opt.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+    # just past warmup: momentum should sit at/near the minimum
+    assert abs(float(state.hyperparams["b1"]) - 0.85) < 0.01
+    assert np.isfinite(np.asarray(params["w"])).all()
