@@ -10,7 +10,7 @@ host-side Python/C++. Tensor convention is time x batch x features (TBF),
 matching the reference (taiyaki/layers.py:14).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.1.1"
 
 # Model schema version written to / checked in checkpoints.  Mirrors the
 # reference MODEL_VERSION = 3 (taiyaki/layers.py:19) so exported models
