@@ -129,7 +129,6 @@ class Basecaller:
         from taiyaki_tpu.constants import SMALL_VAL
         from taiyaki_tpu.ops import decode as dec
 
-        self.params = params
         self.max_batch = max_batch
         self.want_mods = want_mods
         self.want_trans = want_trans
@@ -337,10 +336,8 @@ def main():
     # basecalls track the CPU reference as closely as the MXU allows
     # (the Pallas kernels honor the same switch via TAIYAKI_TPU_F32_GATES)
     jax.config.update("jax_default_matmul_precision", "highest")
-    # honor an explicit JAX_PLATFORMS=cpu (see prepare_mapped_reads.py:
-    # this environment's sitecustomize stomps the env var)
-    if args.device == "cpu" or os.environ.get("JAX_PLATFORMS") == "cpu":
-        jax.config.update("jax_platforms", "cpu")
+    from taiyaki_tpu.utils.helpers import select_jax_platform
+    select_jax_platform(args.device)
 
     from taiyaki_tpu.data import fast5utils
     from taiyaki_tpu.flipflopfings import nstate_flipflop

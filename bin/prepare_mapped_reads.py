@@ -68,11 +68,8 @@ def main():
     # remapping quality should match the CPU reference (the Pallas
     # kernels honor the same intent via TAIYAKI_TPU_F32_GATES above)
     jax.config.update("jax_default_matmul_precision", "highest")
-    # honor an explicit JAX_PLATFORMS=cpu too: this environment's
-    # sitecustomize imports jax first and stomps the env var, so the
-    # standard jax behavior must be restored through the config API
-    if args.device == "cpu" or os.environ.get("JAX_PLATFORMS") == "cpu":
-        jax.config.update("jax_platforms", "cpu")
+    from taiyaki_tpu.utils.helpers import select_jax_platform
+    select_jax_platform(args.device)
 
     from taiyaki_tpu import alphabet, bio
     from taiyaki_tpu.data import fast5utils

@@ -54,8 +54,8 @@ def main(args):
     from taiyaki_tpu.data import mapped_signal_files
     from taiyaki_tpu.utils import helpers
 
-    if args.device == 'cpu':
-        jax.config.update('jax_platforms', 'cpu')
+    from taiyaki_tpu.utils.helpers import select_jax_platform
+    select_jax_platform(args.device)
     if args.multihost:
         # Explicit rendezvous via env vars (for clusters JAX cannot
         # auto-detect); bare initialize() on TPU pods/Slurm/OpenMPI.

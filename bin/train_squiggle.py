@@ -103,11 +103,8 @@ def network(size={size}, depth={depth}, winlen={winlen}, **kwargs):
 def main():
     args = get_parser().parse_args()
     import jax
-    if args.device == "cpu" or os.environ.get("JAX_PLATFORMS") == "cpu":
-        jax.config.update("jax_platforms", "cpu")
-    elif isinstance(args.device, int):
-        jax.config.update("jax_default_device",
-                          jax.devices()[args.device])
+    from taiyaki_tpu.utils.helpers import select_jax_platform
+    select_jax_platform(args.device)
     import jax.numpy as jnp
     import optax
 

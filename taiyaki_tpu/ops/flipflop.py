@@ -30,7 +30,6 @@ Numerics invariants preserved (SURVEY.md appendix):
 """
 
 import os
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -16,15 +16,13 @@ TPU-native redesign of bin/train_flipflop.py's hot path
   path-buffer filter bound.
 """
 
-from collections import defaultdict, namedtuple
-from functools import partial
-
+from collections import namedtuple
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from taiyaki_tpu import flipflopfings, layers
+from taiyaki_tpu import flipflopfings
 from taiyaki_tpu.data import chunk_selection
 from taiyaki_tpu.ops import flipflop as ffops
 

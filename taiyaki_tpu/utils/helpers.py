@@ -288,6 +288,21 @@ def prepare_outdir(outdir, overwrite=False):
         os.makedirs(outdir, exist_ok=True)
 
 
+def select_jax_platform(device):
+    """Configure JAX for a CLI --device value: "cpu" forces the CPU
+    platform, an integer index pins the default device, "tpu" leaves the
+    default.  Also honors an explicit JAX_PLATFORMS=cpu environment
+    variable — this environment's site hook imports jax first and stomps
+    the env var, so standard behavior must be restored via the config
+    API.  Shared by every accelerator-aware CLI.
+    """
+    import jax
+    if device == "cpu" or os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    elif isinstance(device, int):
+        jax.config.update("jax_default_device", jax.devices()[device])
+
+
 def formatted_env_info(device=None):
     """Provenance header for model.log (reference: helpers.py:455-473)."""
     import jax
