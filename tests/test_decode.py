@@ -120,7 +120,9 @@ def test_path_errprobs_to_qstring_skips_stays():
 def test_chunk_read_shapes():
     sig = np.arange(2500, dtype=np.float32)
     chunks, starts, ends = basecall_helpers.chunk_read(sig, 1000, 100)
-    assert chunks.shape[0] == 1000 and chunks.shape[2] == 1
+    # stride = chunk - overlap = 900; last chunk snaps to the signal end
+    assert chunks.shape == (1000, 3, 1)
+    np.testing.assert_array_equal(starts, [0, 900, 1500])
     assert ends[-1] == 2500
     np.testing.assert_array_equal(ends - starts, 1000)
     # short signal: single untrimmed chunk

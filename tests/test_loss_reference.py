@@ -47,13 +47,15 @@ def test_flipflop_loss_sharpening():
 def test_ctc_loss_hand_example():
     """One-base sequence over 2 blocks: paths are stay-then-move is
     impossible (must end at position 1) — enumerate by hand."""
-    # features: base0..3, stay=4
-    x = np.log(np.array([
-        # t=0: move prob .6 (base 2), stay .4
-        [[0.0, 0.0, 0.6, 0.0, 0.4]],
-        # t=1: move prob .3 (base 2), stay .7
-        [[0.0, 0.0, 0.3, 0.0, 0.7]],
-    ], dtype=np.float32))
+    # features: base0..3, stay=4 (log(0) = -inf is intended: impossible
+    # transitions; silence the divide-by-zero warning for -W error runs)
+    with np.errstate(divide="ignore"):
+        x = np.log(np.array([
+            # t=0: move prob .6 (base 2), stay .4
+            [[0.0, 0.0, 0.6, 0.0, 0.4]],
+            # t=1: move prob .3 (base 2), stay .7
+            [[0.0, 0.0, 0.3, 0.0, 0.7]],
+        ], dtype=np.float32))
     seqs = jnp.asarray([[2]])
     seqlens = jnp.asarray([1])
     # paths reaching position 1 after 2 blocks:

@@ -87,6 +87,14 @@ def test_data_parallel_training_on_mesh(setup):
     mesh = jax.sharding.Mesh(np.array(devices), ("data",))
     losses = run_steps(setup, mesh, niter=4)
     assert np.isfinite(losses).all()
+    # the sharded step must compute WHAT the single-device step computes
+    # (same data order: run_steps reseeds the global stream via setup's
+    # np.random.seed consumed identically in both runs)
+    np.random.seed(777)
+    ref = run_steps(setup, None, niter=4)
+    np.random.seed(777)
+    sharded = run_steps(setup, mesh, niter=4)
+    np.testing.assert_allclose(sharded, ref, rtol=1e-5, atol=1e-6)
 
 
 def test_chunk_len_buckets():
@@ -96,6 +104,12 @@ def test_chunk_len_buckets():
     assert len(buckets) == 8
     # degenerate range collapses to one bucket
     assert train.chunk_len_buckets(400, 400, 2) == [400]
+
+
+def test_sub_batch_size_rule_rounding():
+    # non-divisible case pins the intended round-half-up behavior
+    # (reference: int(min * max_len / len + 0.5))
+    assert train.sub_batch_size_for_chunk(128, 8000, 3000) == 341
 
 
 def test_sub_batch_size_rule():
