@@ -124,6 +124,21 @@ def test_strand_list_conventions(tmp_path):
     got2 = list(fast5utils.iterate_fast5_reads(READS_DIR,
                                                strand_list=str(sl2)))
     assert len(got2) == 1 and got2[0][1] == rid
+    # (B) filename only: every read in the named files
+    fnames = sorted({os.path.basename(p[0]) for p in pairs})[:2]
+    sl3 = tmp_path / "sl3.tsv"
+    sl3.write_text("filename_fast5\n" + "".join(
+        "{}\n".format(f) for f in fnames))
+    got3 = list(fast5utils.iterate_fast5_reads(READS_DIR,
+                                               strand_list=str(sl3)))
+    expect3 = [p for p in pairs if os.path.basename(p[0]) in set(fnames)]
+    assert sorted(got3) == sorted(expect3)
+    # invalid list: no usable column
+    sl4 = tmp_path / "sl4.tsv"
+    sl4.write_text("bogus\n1\n")
+    with pytest.raises(Exception):
+        list(fast5utils.iterate_fast5_reads(READS_DIR,
+                                            strand_list=str(sl4)))
 
 
 @needs_fixtures
