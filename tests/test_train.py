@@ -238,3 +238,41 @@ def test_momentum_cycling_schedule():
     # just past warmup: momentum should sit at/near the minimum
     assert abs(float(state.hyperparams["b1"]) - 0.85) < 0.01
     assert np.isfinite(np.asarray(params["w"])).all()
+
+
+def test_grad_accumulation_on_mesh_matches_single_device(setup):
+    """The mesh-aware grad/apply wrappers must reproduce the
+    single-device accumulation result (XLA inserts the gradient psum)."""
+    import jax.numpy as jnp
+    reads, ai, net, params, fp = setup
+    chunk_len, batch_size = 256, 8
+    max_seqlen = train.max_seqlen_for_chunk(chunk_len, 2, 1.1)
+    opt, _ = train.make_optimizer(lr_max=4e-3, niteration=10,
+                                  warmup_batches=2, lr_warmup=1e-4,
+                                  lr_min=1e-4)
+    batch, _ = train.sample_batch(reads, chunk_len, batch_size,
+                                  max_seqlen, ai, fp)
+    nleaves = len(jax.tree.leaves(params))
+    threshs = jnp.full(nleaves, jnp.inf, jnp.float32)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()), ("data",))
+
+    results = {}
+    for m in (None, mesh):
+        gstep = train.jit_grad_step(train.make_grad_step(net), m)
+        astep = train.jit_apply_step(train.make_apply_step(opt), m)
+        b = train.shard_batch(batch, m) if m is not None else batch
+        acc = None
+        for _ in range(2):
+            loss, grads = gstep(jax.tree.map(jnp.asarray, params), b,
+                                1.0, 1.0)
+            acc = train.accumulate_grads(acc, grads)
+        p, _, gm = astep(jax.tree.map(jnp.asarray, params),
+                         opt.init(params), acc, 2.0, threshs)
+        results[m is None] = (float(loss), np.asarray(gm),
+                              [np.asarray(x) for x in jax.tree.leaves(p)])
+
+    (l1, gm1, p1), (l2, gm2, p2) = results[True], results[False]
+    assert abs(l1 - l2) < 1e-5
+    np.testing.assert_allclose(gm1, gm2, rtol=1e-4, atol=1e-6)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
