@@ -15,12 +15,57 @@ otherwise null — taiyaki publishes no official numbers (BASELINE.md).
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_PROBE = (
+    "import jax, jax.numpy as jnp; "
+    "x = jnp.ones((128, 128)); "
+    "assert float((x @ x).sum()) == 128.0 * 128 * 128"
+)
+
+
+def probe_backend(attempts=4, timeout_s=120):
+    """Check the JAX backend can initialize and run a tiny matmul.
+
+    Runs in a subprocess so a failed (and process-cached) backend init
+    does not poison this process; retries with backoff because the
+    remote-TPU tunnel can be transiently wedged (BENCH_r01.json was a
+    single unretried init failure).  Returns None on success, else the
+    last failure description.
+    """
+    last = None
+    for i in range(attempts):
+        try:
+            res = subprocess.run(
+                [sys.executable, "-c", _PROBE], capture_output=True,
+                text=True, timeout=timeout_s)
+            if res.returncode == 0:
+                return None
+            last = (res.stderr or res.stdout).strip().splitlines()[-1:]
+            last = last[0] if last else "probe exited rc=%d" % res.returncode
+        except subprocess.TimeoutExpired:
+            last = "probe timed out after %ds" % timeout_s
+        if i + 1 < attempts:
+            time.sleep(5 * (i + 1))
+    return last
+
+
+def emit_error(message):
+    """Emit the single JSON line in error form so the driver can tell a
+    wedged backend apart from a broken build (rc stays 0 deliberately)."""
+    print(json.dumps({
+        "metric": "train_chunks_per_sec",
+        "value": None,
+        "unit": "chunks/s",
+        "vs_baseline": None,
+        "error": message,
+    }))
 
 
 def main():
@@ -112,4 +157,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    err = probe_backend()
+    if err is not None:
+        emit_error("backend probe failed after retries: %s" % err)
+        sys.exit(0)
+    try:
+        main()
+    except Exception as exc:  # emit structured JSON even on failure
+        emit_error("%s: %s" % (type(exc).__name__, exc))
+        sys.exit(0)

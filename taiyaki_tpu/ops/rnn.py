@@ -58,12 +58,22 @@ import jax.numpy as jnp
 _UNROLL = 8
 
 
-def _use_pallas():
+def _use_pallas(batch_size):
     """Dispatch the time loops to the fused Pallas kernels on TPU.
 
     Trace-time constant; disable with TAIYAKI_TPU_NO_PALLAS=1.
+
+    Batches that aren't sublane (8) aligned fall back to the XLA scan
+    path: the kernels collapse (block_t, B, kH) -> (block_t*B, kH) for
+    the gate GEMMs, and Mosaic rejects that shape cast for B % 8 != 0
+    ("infer-vector-layout: unsupported shape cast", measured on v5e —
+    B=9 fails, B=8/16/64 compile at every hidden size probed).  Odd
+    batches only arise from tiny smoke configs; production sub-batch
+    sizes are 8-aligned by the trainer.
     """
     if os.environ.get("TAIYAKI_TPU_NO_PALLAS") == "1":
+        return False
+    if batch_size % 8 != 0:
         return False
     try:
         return jax.default_backend() == "tpu"
@@ -189,7 +199,7 @@ def _lstm_dpre(h, c, pre, sW, dh_out, reverse, iW=None, dx_dtype=None):
     stream from HBM); an einsum on the scan fallback."""
     T, B, H = h.shape
     c_prev = _prev_state(c, reverse)
-    if _use_pallas():
+    if _use_pallas(B):
         from taiyaki_tpu.ops import pallas_rnn
         bt = pallas_rnn.block_t_for(B)
         gdt = _grad_stream_dtype()
@@ -243,16 +253,16 @@ def _make_lstm_scan(reverse):
         # NOTE: custom_vjp evaluates THIS function outside differentiation
         # (inference); f_fwd below only runs under grad.  Dispatch to the
         # Pallas kernel here too so basecalling gets the fused time loop.
-        if _use_pallas():
+        if _use_pallas(gates_x.shape[1]):
             h, _, _ = _lstm_fwd_pallas(gates_x, sW, reverse)
             return h
         h, _ = _lstm_fwd_core(gates_x, sW, reverse)
         return h
 
     def fwd(gates_x, sW):
-        # NOTE: _use_pallas() is a trace-time constant, so fwd and bwd
+        # NOTE: _use_pallas(B) is a trace-time constant, so fwd and bwd
         # agree on the residual structure.
-        if _use_pallas():
+        if _use_pallas(gates_x.shape[1]):
             h, c, pre = _lstm_fwd_pallas(gates_x, sW, reverse)
             return h, (h, c, pre, sW)
         return _lstm_fwd_core(gates_x, sW, reverse)
@@ -293,7 +303,7 @@ def _make_lstm_layer(reverse):
     @jax.custom_vjp
     def layer_fn(x, iW, b, sW):
         # evaluated outside differentiation (inference) — see scan_fn note
-        if _use_pallas():
+        if _use_pallas(x.shape[1]):
             from taiyaki_tpu.ops import pallas_rnn
             T = x.shape[0]
             bt = pallas_rnn.block_t_for(x.shape[1])
@@ -307,7 +317,7 @@ def _make_lstm_layer(reverse):
         return h
 
     def fwd(x, iW, b, sW):
-        if _use_pallas():
+        if _use_pallas(x.shape[1]):
             from taiyaki_tpu.ops import pallas_rnn
             T = x.shape[0]
             bt = pallas_rnn.block_t_for(x.shape[1])
@@ -425,7 +435,7 @@ def _make_gru_scan(reverse):
     @jax.custom_vjp
     def scan_fn(gates_x, sW):
         # evaluated outside differentiation (inference) — see lstm note
-        if _use_pallas():
+        if _use_pallas(gates_x.shape[1]):
             from taiyaki_tpu.ops import pallas_rnn
             T = gates_x.shape[0]
             bt = pallas_rnn.block_t_for(gates_x.shape[1])
@@ -440,7 +450,7 @@ def _make_gru_scan(reverse):
         return h
 
     def fwd(gates_x, sW):
-        if _use_pallas():
+        if _use_pallas(gates_x.shape[1]):
             from taiyaki_tpu.ops import pallas_rnn
             T = gates_x.shape[0]
             bt = pallas_rnn.block_t_for(gates_x.shape[1])
@@ -458,7 +468,7 @@ def _make_gru_scan(reverse):
         return _gru_fwd_core(gates_x, sW, reverse)
 
     def bwd(res, dh_out):
-        if _use_pallas():
+        if _use_pallas(dh_out.shape[1]):
             h, gx, gh, sW = res
             dgx, dgh = _gru_dgrads_pallas(h, gx, gh, sW, dh_out, reverse)
         else:
@@ -495,7 +505,7 @@ def _make_gru_layer(reverse):
     @jax.custom_vjp
     def layer_fn(x, iW, b, sW):
         # evaluated outside differentiation (inference) — see lstm note
-        if _use_pallas():
+        if _use_pallas(x.shape[1]):
             from taiyaki_tpu.ops import pallas_rnn
             T = x.shape[0]
             bt = pallas_rnn.block_t_for(x.shape[1])
@@ -509,7 +519,7 @@ def _make_gru_layer(reverse):
         return h
 
     def fwd(x, iW, b, sW):
-        if _use_pallas():
+        if _use_pallas(x.shape[1]):
             from taiyaki_tpu.ops import pallas_rnn
             T = x.shape[0]
             bt = pallas_rnn.block_t_for(x.shape[1])
@@ -525,7 +535,7 @@ def _make_gru_layer(reverse):
         return h, (x, (h, r, z, n, ghn, sW), iW, sW)
 
     def bwd(res, dh_out):
-        if _use_pallas():
+        if _use_pallas(dh_out.shape[1]):
             x, h, gx, gh, iW, sW = res
             dgx, dgh, d_x = _gru_dgrads_pallas(h, gx, gh, sW, dh_out,
                                                reverse, iW=iW,
