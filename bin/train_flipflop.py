@@ -470,15 +470,25 @@ def main(args):
 
 def _pad_batch(batch, target):
     """Repeat-pad a short batch to the static sub-batch size (keeps XLA
-    shapes stable when the sampler comes up short)."""
+    shapes stable when the sampler comes up short).
+
+    Padded rows get seqlens == 0, which the loss masks out of both the
+    CRF cost and the logZ term AND excludes from the batch-mean divisor
+    (train.make_loss_fn), so gradients equal training on the short batch
+    — matching the reference, which simply trains on whatever passed
+    (bin/train_flipflop.py:78-142).  Repeat-padding at full weight would
+    silently over-weight the last chunk exactly when filters reject
+    heavily."""
     from taiyaki_tpu.train import Batch
     n = batch.signal.shape[1]
     if n == 0:
         raise RuntimeError('No chunks passed filters — cannot build batch. '
                            'Check filter parameters.')
     reps = [min(i, n - 1) for i in range(target)]
+    seqlens = batch.seqlens[reps].copy()
+    seqlens[n:] = 0
     return Batch(
-        batch.signal[:, reps, :], batch.seqs[reps], batch.seqlens[reps],
+        batch.signal[:, reps, :], batch.seqs[reps], seqlens,
         None if batch.mod_cats is None else batch.mod_cats[reps])
 
 

@@ -39,7 +39,14 @@ def _get_lib():
         if (not os.path.exists(_LIB_PATH)
                 or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
             _build()
-        lib = ctypes.CDLL(_LIB_PATH)
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            # stale/foreign binary (e.g. arbitrary checkout mtimes made a
+            # source-newer .so look fresh, or an ABI-incompatible build):
+            # rebuild from source before giving up
+            _build()
+            lib = ctypes.CDLL(_LIB_PATH)
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
         i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
         lib.tt_flipflop_beamsearch.restype = ctypes.c_float

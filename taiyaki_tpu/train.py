@@ -275,7 +275,11 @@ def make_loss_fn(net, is_cat_mod=False, can_mods_offsets=None,
         # bin/train_flipflop.py:102-103; SignalMapping filters them)
         logz = ffops.flipflop_logz(outputs[:, :, :ntrans]) / nblk
         lossvector = lossvector + jnp.where(batch.seqlens > 0, logz, 0.0)
-        return jnp.mean(lossvector)
+        # Mean over REAL rows only: seqlens == 0 marks padding added for
+        # shape stability (bin/train_flipflop.py:_pad_batch).  For full
+        # batches every row has seqlens > 0 and this equals jnp.mean.
+        nvalid = jnp.maximum(jnp.sum(batch.seqlens > 0), 1)
+        return jnp.sum(lossvector) / nvalid
 
     return loss_fn
 

@@ -21,7 +21,16 @@ FIXTURE_MSF = ("/root/reference/test/data/mapped_signal_file/"
 needs_fixtures = pytest.mark.skipif(not os.path.exists(FIXTURE_MSF),
                                     reason="reference fixtures absent")
 
-PORT = 29751
+def _free_port():
+    """Ephemeral rendezvous port: a fixed one collides when two suites
+    run concurrently on one machine."""
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+PORT = _free_port()
 
 
 def launch(proc_id, outdir):

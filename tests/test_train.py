@@ -276,3 +276,39 @@ def test_grad_accumulation_on_mesh_matches_single_device(setup):
     np.testing.assert_allclose(gm1, gm2, rtol=1e-4, atol=1e-6)
     for a, b in zip(p1, p2):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_padded_batch_grads_equal_short_batch(setup):
+    """_pad_batch marks padded rows with seqlens == 0 and the loss
+    normalizes by the real-row count, so loss AND gradients of a padded
+    batch equal those of the unpadded short batch (the reference trains
+    on the short batch: bin/train_flipflop.py:78-142).  Guards against
+    the repeat-padding-at-full-weight bias flagged in round 1."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "train_flipflop_cli",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bin", "train_flipflop.py"))
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+
+    reads, ai, net, params, fp = setup
+    chunk_len = 256
+    bound = train.max_seqlen_for_chunk(chunk_len, 2, 1.1)
+    np.random.seed(31337)
+    short, _ = train.sample_batch(reads, chunk_len, 5, bound, ai, fp)
+    assert short.signal.shape[1] == 5
+    padded = cli._pad_batch(short, 8)
+    assert padded.signal.shape[1] == 8
+    np.testing.assert_array_equal(padded.seqlens[:5], short.seqlens)
+    assert (padded.seqlens[5:] == 0).all()
+
+    loss_fn = train.make_loss_fn(net)
+    vg = jax.jit(jax.value_and_grad(loss_fn))
+    l_short, g_short = vg(params, short, 1.0)
+    l_pad, g_pad = vg(params, padded, 1.0)
+    np.testing.assert_allclose(float(l_short), float(l_pad), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_short), jax.tree.leaves(g_pad)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
