@@ -149,11 +149,18 @@ def _select_all_scores(lp, sel_stay, sel_move):
 
     lp: [nblk, batch, nstate] -> ([nblk, batch, npos],
                                   [nblk, batch, npos-1]).
+
+    These einsums are GATHERS in matmul clothing: precision must be
+    HIGHEST or the TPU's default single bf16 MXU pass quantizes every
+    selected score to bf16 (~3 significant digits), biasing the loss
+    itself by ~2e-4 on the reference C kernel's self-test fixture.
     """
     stay_all = jnp.einsum("tbs,bls->tbl", lp, sel_stay,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
     move_all = jnp.einsum("tbs,bls->tbl", lp, sel_move,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
     return stay_all, move_all
 
 
