@@ -28,14 +28,34 @@ DEFAULT_BLOCK_T = 8
 # double-buffered VMEM footprint under the 16MB budget at L=768, B=64.
 BWD_BLOCK_T = 4
 
+# Batch rows per grid iteration: the batch axis is tiled across an OUTER
+# grid dimension (per-tile lattice carry in VMEM scratch; TPU grids are
+# sequential), so VMEM per grid step is bounded by the tuned B=64 budget
+# regardless of total batch — bs1024, which OOM'd the untiled backward
+# kernel by 11.5MB, fits.  Per-row lattice math is independent, so
+# tiling cannot change results.  Tiles of 256 keep B <= 256 identical
+# to the pre-tiling configuration (64-row tiles measured -5% at bs256).
+BLOCK_B = 256
+
+
+def block_b_for(batch_size):
+    """Largest of {256, 128, ..., 8} dividing the batch; falls back to the
+    full batch for small/odd batches (unlike the RNN kernels these have
+    no reshape constraint, so any batch compiles)."""
+    bb = BLOCK_B
+    while bb > 8 and batch_size % bb != 0:
+        bb //= 2
+    if batch_size % bb != 0:
+        return batch_size
+    return min(bb, batch_size)
+
 
 def _scaled_block_t(base, batch_size):
-    """Shrink block_t (power-of-two) so VMEM streams stay within the
-    B=64 budget the base values were tuned for.  (Probed 2026-08-17:
-    doubling the budget at B=128 OOMs the CRF kernels and gains nothing
-    for RNN/logZ — DMA per grid step is not the bottleneck.)"""
+    """block_t (power-of-two) for the VMEM budget the base values were
+    tuned for, applied to this batch's TILE size."""
+    bb = block_b_for(batch_size)
     bt = base
-    while bt > 1 and bt * batch_size > 64 * base:
+    while bt > 1 and bt * bb > 64 * base:
         bt //= 2
     return bt
 
@@ -50,7 +70,7 @@ def bwd_block_t(batch_size):
 
 def _fwd_kernel(stay_ref, move_ref, valid_ref, fwd_out, score_out,
                 lattice_ref, fwd_carry, score_carry, *, block_t, unroll=False):
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _():
         valid = valid_ref[:]
         B, L = fwd_carry.shape
@@ -74,12 +94,12 @@ def _fwd_kernel(stay_ref, move_ref, valid_ref, fwd_out, score_out,
         new = jnp.where(valid, new, _NEG)
         factor = jnp.max(new, axis=1, keepdims=True)
         fwd_carry[:] = jnp.where(valid, new - factor, _NEG)
-        score_carry[:] = score_carry[:] + factor[:, 0]
+        score_carry[:] = score_carry[:] + factor
         return 0
 
     run_steps(body, block_t, unroll)
 
-    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
     def _():
         fwd_out[:] = fwd_carry[:]
         score_out[:] = score_carry[:]
@@ -104,37 +124,40 @@ def crf_forward(stay_all, move_all, valid, block_t=DEFAULT_BLOCK_T,
     T, B, L = stay_all.shape
     res_dt = residual_dtype or stay_all.dtype
     assert T % block_t == 0
+    bb = block_b_for(B)
+    nb = B // bb
     kernel = functools.partial(_fwd_kernel, block_t=block_t, unroll=unroll)
-    return pl.pallas_call(
+    fwd_final, score, lattice = pl.pallas_call(
         kernel,
-        grid=(T // block_t,),
+        grid=(nb, T // block_t),
         in_specs=[
-            pl.BlockSpec((block_t, B, L), lambda i: (i, 0, 0),
+            pl.BlockSpec((block_t, bb, L), lambda ib, it: (it, ib, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, B, L), lambda i: (i, 0, 0),
+            pl.BlockSpec((block_t, bb, L), lambda ib, it: (it, ib, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, L), lambda i: (0, 0),
+            pl.BlockSpec((bb, L), lambda ib, it: (ib, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((B, L), lambda i: (0, 0),
+            pl.BlockSpec((bb, L), lambda ib, it: (ib, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B,), lambda i: (0,),
+            pl.BlockSpec((bb, 1), lambda ib, it: (ib, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, B, L), lambda i: (i, 0, 0),
+            pl.BlockSpec((block_t, bb, L), lambda ib, it: (it, ib, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, L), jnp.float32),
-            jax.ShapeDtypeStruct((B,), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
             jax.ShapeDtypeStruct((T, B, L), res_dt),
         ],
         scratch_shapes=[
-            pltpu.VMEM((B, L), jnp.float32),
-            pltpu.VMEM((B,), jnp.float32),
+            pltpu.VMEM((bb, L), jnp.float32),
+            pltpu.VMEM((bb, 1), jnp.float32),
         ],
         interpret=interpret,
     )(stay_all, move_all, valid)
+    return fwd_final, score[:, 0], lattice
 
 
 def _bwd_kernel(stay_ref, move_ref, lattice_ref, valid_ref, last_ref,
@@ -142,7 +165,7 @@ def _bwd_kernel(stay_ref, move_ref, lattice_ref, valid_ref, last_ref,
     B, L = bwd_carry.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _():
         valid = valid_ref[:] > 0
         bwd_carry[:] = jnp.where((col == last_ref[:]) & valid, 0.0, _NEG)
@@ -171,7 +194,12 @@ def _bwd_kernel(stay_ref, move_ref, lattice_ref, valid_ref, last_ref,
                             jnp.exp(move_terms - tmax), 0.0)
         denom = (jnp.sum(ex_stay, axis=1, keepdims=True)
                  + jnp.sum(ex_move, axis=1, keepdims=True))
-        denom = jnp.maximum(denom, 1e-38)
+        # NOT jnp.maximum(denom, 1e-38): 1e-38 is subnormal in f32 and
+        # XLA's flush-to-zero turns it into 0, making this 0/0 = NaN for
+        # rows with no reachable path (seqlen > nblk + 1) — such rows
+        # must emit an all-zero posterior like the scan path
+        # (ops/flipflop.py:296).
+        denom = jnp.where(denom > 0, denom, 1.0)
         post_stay_ref[k] = (ex_stay / denom).astype(post_stay_ref.dtype)
         post_move_ref[k] = (ex_move / denom).astype(post_move_ref.dtype)
 
@@ -206,31 +234,33 @@ def crf_backward_posteriors(stay_all, move_all, lattice, valid, last,
     o_dt = out_dtype or stay_all.dtype
     assert T % block_t == 0
     ngrid = T // block_t
+    bb = block_b_for(B)
+    nb = B // bb
     kernel = functools.partial(_bwd_kernel, block_t=block_t, unroll=unroll)
 
-    def rev(i):
-        return (ngrid - 1 - i, 0, 0)
+    def rev(ib, it):
+        return (ngrid - 1 - it, ib, 0)
 
     return pl.pallas_call(
         kernel,
-        grid=(ngrid,),
+        grid=(nb, ngrid),
         in_specs=[
-            pl.BlockSpec((block_t, B, L), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, B, L), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, B, L), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, L), lambda i: (0, 0),
+            pl.BlockSpec((block_t, bb, L), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, L), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, L), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, L), lambda ib, it: (ib, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1), lambda i: (0, 0),
+            pl.BlockSpec((bb, 1), lambda ib, it: (ib, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((block_t, B, L), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, B, L), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, L), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, L), rev, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, L), o_dt),
             jax.ShapeDtypeStruct((T, B, L), o_dt),
         ],
-        scratch_shapes=[pltpu.VMEM((B, L), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bb, L), jnp.float32)],
         interpret=interpret,
     )(stay_all, move_all, lattice, valid, last)

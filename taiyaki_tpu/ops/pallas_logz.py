@@ -31,12 +31,30 @@ LANES = 128
 DEFAULT_BLOCK_T = 32
 
 
+# Batch tile (outer grid dim; per-tile carries in scratch — see
+# pallas_crf.py).  VMEM per grid step is bounded by the tuned B=64
+# budget regardless of total batch.
+BLOCK_B = 256
+
+
+def block_b_for(batch_size):
+    """Largest of {256, 128, ..., 8} dividing the batch; whole batch if
+    none divides (any batch compiles — no reshape constraint)."""
+    bb = BLOCK_B
+    while bb > 8 and batch_size % bb != 0:
+        bb //= 2
+    if batch_size % bb != 0:
+        return batch_size
+    return min(bb, batch_size)
+
+
 def block_t_for(batch_size):
     """Scale block_t down (power of two) so VMEM streams stay within the
-    B=64 budget DEFAULT_BLOCK_T was tuned for (streams ~ block_t * B);
-    batches beyond 64 OOM'd the 16MB scoped vmem otherwise."""
+    B=64 budget DEFAULT_BLOCK_T was tuned for (streams ~ block_t times
+    the batch TILE)."""
+    bb = block_b_for(batch_size)
     bt = DEFAULT_BLOCK_T
-    while bt > 1 and bt * batch_size > 64 * DEFAULT_BLOCK_T:
+    while bt > 1 and bt * bb > 64 * DEFAULT_BLOCK_T:
         bt //= 2
     return bt
 
@@ -84,7 +102,7 @@ def _fwd_kernel(scores_ref, src_ref, dst_ref, fwd_out, logz_out,
     B = fwd_carry.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (B, LANES), 1)
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _():
         # flip states uniform, flop states empty, renormalized to lse=0
         init = jnp.where(col < nff // 2, -jnp.log(float(nff // 2)), _NEG)
@@ -102,15 +120,15 @@ def _fwd_kernel(scores_ref, src_ref, dst_ref, fwd_out, logz_out,
         summed = jnp.dot(ex, dst_ref[:].T,
                          preferred_element_type=jnp.float32)
         new = jnp.where((summed > 0.0) & (col < nff),
-                        jnp.log(jnp.maximum(summed, 1e-38)) + mx, _NEG)
+                        jnp.log(jnp.maximum(summed, 1e-30)) + mx, _NEG)
         factor = _row_logsumexp(new)
         fwd_carry[:] = jnp.where(col < nff, new - factor, _NEG)
-        logz_carry[:] = logz_carry[:] + factor[:, 0]
+        logz_carry[:] = logz_carry[:] + factor
         return 0
 
     run_steps(body, block_t, unroll)
 
-    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
     def _():
         fwd_out[:] = fwd_carry[:]
         logz_out[:] = logz_carry[:]
@@ -135,37 +153,41 @@ def logz_forward(scores_p, nbase, block_t=DEFAULT_BLOCK_T, interpret=False,
     res_dt = residual_dtype or jnp.float32
     assert L == LANES and T % block_t == 0
     src, dst, _ = selectors(nbase)
+    bb = block_b_for(B)
+    nb = B // bb
     kernel = functools.partial(_fwd_kernel, block_t=block_t, nff=2 * nbase,
                                unroll=unroll)
-    return pl.pallas_call(
+    fwd_final, logz, lattice = pl.pallas_call(
         kernel,
-        grid=(T // block_t,),
+        grid=(nb, T // block_t),
         in_specs=[
-            pl.BlockSpec((block_t, B, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((block_t, bb, LANES), lambda ib, it: (it, ib, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANES, LANES), lambda i: (0, 0),
+            pl.BlockSpec((LANES, LANES), lambda ib, it: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANES, LANES), lambda i: (0, 0),
+            pl.BlockSpec((LANES, LANES), lambda ib, it: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((B, LANES), lambda i: (0, 0),
+            pl.BlockSpec((bb, LANES), lambda ib, it: (ib, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, B, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((bb, 1), lambda ib, it: (ib, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, LANES), lambda ib, it: (it, ib, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((B,), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
             jax.ShapeDtypeStruct((T, B, LANES), res_dt),
         ],
         scratch_shapes=[
-            pltpu.VMEM((B, LANES), jnp.float32),
-            pltpu.VMEM((B,), jnp.float32),
+            pltpu.VMEM((bb, LANES), jnp.float32),
+            pltpu.VMEM((bb, 1), jnp.float32),
         ],
         interpret=interpret,
     )(scores_p, jnp.asarray(_pad_lanes(src)), jnp.asarray(_pad_lanes(dst)))
+    return fwd_final, logz[:, 0], lattice
 
 
 def _bwd_kernel(scores_ref, lattice_ref, src_ref, dst_ref, post_ref,
@@ -174,7 +196,7 @@ def _bwd_kernel(scores_ref, lattice_ref, src_ref, dst_ref, post_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, (B, LANES), 1)
     ntr = nff * (nff // 2 + 1)
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _():
         bwd_carry[:] = jnp.where(col < nff, -jnp.log(float(nff)), _NEG)
 
@@ -189,8 +211,11 @@ def _bwd_kernel(scores_ref, lattice_ref, src_ref, dst_ref, post_ref,
                  + scores_t + jnp.where(col < ntr, bwd_d, _NEG))
         mx = jnp.max(terms, axis=1, keepdims=True)
         ex = jnp.where(terms > _NEG / 2, jnp.exp(terms - mx), 0.0)
-        post_ref[k] = (ex / jnp.maximum(
-            jnp.sum(ex, axis=1, keepdims=True), 1e-38)).astype(post_ref.dtype)
+        # where-guard, not maximum(.., 1e-38): 1e-38 flushes to zero in
+        # f32 FTZ and would make this 0/0 = NaN for no-path rows
+        den = jnp.sum(ex, axis=1, keepdims=True)
+        post_ref[k] = (ex / jnp.where(den > 0, den, 1.0)
+                       ).astype(post_ref.dtype)
 
         terms2 = scores_t + bwd_d
         terms2 = jnp.where(col < ntr, terms2, _NEG)
@@ -199,7 +224,7 @@ def _bwd_kernel(scores_ref, lattice_ref, src_ref, dst_ref, post_ref,
         summed = jnp.dot(ex2, src_ref[:].T,
                          preferred_element_type=jnp.float32)
         new = jnp.where((summed > 0.0) & (col < nff),
-                        jnp.log(jnp.maximum(summed, 1e-38)) + mx2, _NEG)
+                        jnp.log(jnp.maximum(summed, 1e-30)) + mx2, _NEG)
         factor = jnp.max(new, axis=1, keepdims=True)
         bwd_carry[:] = jnp.where(col < nff, new - factor, _NEG)
         return 0
@@ -218,30 +243,32 @@ def logz_backward_posteriors(scores_p, lattice, nbase,
     assert L == LANES and T % block_t == 0
     ngrid = T // block_t
     src, dst, _ = selectors(nbase)
+    bb = block_b_for(B)
+    nb = B // bb
     kernel = functools.partial(_bwd_kernel, block_t=block_t, nff=2 * nbase,
                                unroll=unroll)
 
-    def rev(i):
-        return (ngrid - 1 - i, 0, 0)
+    def rev(ib, it):
+        return (ngrid - 1 - it, ib, 0)
 
     return pl.pallas_call(
         kernel,
-        grid=(ngrid,),
+        grid=(nb, ngrid),
         in_specs=[
-            pl.BlockSpec((block_t, B, LANES), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, B, LANES), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANES, LANES), lambda i: (0, 0),
+            pl.BlockSpec((block_t, bb, LANES), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, LANES), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, LANES), lambda ib, it: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANES, LANES), lambda i: (0, 0),
+            pl.BlockSpec((LANES, LANES), lambda ib, it: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((block_t, B, LANES), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, LANES), rev, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, LANES), o_dt),
         ],
-        scratch_shapes=[pltpu.VMEM((B, LANES), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bb, LANES), jnp.float32)],
         interpret=interpret,
     )(scores_p, lattice, jnp.asarray(_pad_lanes(src)),
       jnp.asarray(_pad_lanes(dst)))[0]

@@ -31,39 +31,77 @@ from jax.experimental.pallas import tpu as pltpu
 from taiyaki_tpu.ops.pallas_common import run_steps
 
 # Time steps per grid iteration.  Bounded by VMEM: with double-buffered
-# streaming the in/out blocks cost ~2 * block_t * B * (9H) floats; at
-# B=64, H=256 block_t=8 keeps the total under the 16MB VMEM budget.
+# streaming the in/out blocks cost ~2 * block_t * block_b * (9H) floats;
+# at block_b=64, H=256 block_t=8 keeps the total under the VMEM budget.
 DEFAULT_BLOCK_T = 8
+
+# Batch rows per grid iteration.  The batch axis is tiled across an OUTER
+# grid dimension (each tile runs the whole time scan with its own carry
+# scratch; TPU grids are sequential so the carry is never clobbered), so
+# VMEM per grid step is constant in the total batch size — bs512+ runs
+# where the untiled kernels exceeded VMEM even at block_t=1, and block_t
+# no longer degrades as the batch grows.  Per-batch-row math is
+# independent, so tiling cannot change results.
+DEFAULT_BLOCK_B = 256
+
+# block_t * block_b budget, from the tuned B=64/block_t=8 VMEM point.
+_BT_BUDGET = 64 * DEFAULT_BLOCK_T
+
+
+def block_b_for(batch_size):
+    """Largest of {256, 128, ..., 8} dividing the batch (callers
+    guarantee batch % 8 == 0 — ops/rnn.py:_use_pallas).
+
+    256 is the measured sweet spot: for B <= 256 the tile is the whole
+    batch and block_t_for reproduces the pre-tiling tuning exactly
+    (bs256 measured 5304 chunks/s untiled vs 5172 with 64-row tiles —
+    more, smaller recurrent matmuls); beyond 256 the batch splits into
+    256-row tiles, which is what makes bs512+ fit VMEM at all."""
+    bb = DEFAULT_BLOCK_B
+    while bb > 8 and batch_size % bb != 0:
+        bb //= 2
+    return min(bb, batch_size)
 
 
 def block_t_for(batch_size):
-    """Largest power-of-two block_t whose VMEM footprint matches the
-    B=64/block_t=8 budget (streams scale with block_t * B)."""
-    bt = DEFAULT_BLOCK_T
-    while bt > 1 and bt * batch_size > 64 * DEFAULT_BLOCK_T:
-        bt //= 2
-    return bt
+    """Time steps per grid iteration for this batch size: scales down as
+    the batch TILE grows so VMEM per grid step stays at the tuned
+    block_t * block_b budget."""
+    bb = block_b_for(batch_size)
+    return max(1, min(DEFAULT_BLOCK_T, _BT_BUDGET // bb))
 
 
 def _time_maps(ngrid, block_t, descending):
     """(index_map, in-block step order) for a time traversal direction.
 
-    `descending=True` walks the grid from the last time block to the first
-    and each block from its last row to its first — used by the backward
-    kernels of natural layers AND the forward kernels of `Reverse`d layers
-    (reference flips the data instead, taiyaki/layers.py:117-154; walking
-    the grid backwards skips those HBM round trips entirely).
+    Index maps take (ib, it) grid coordinates: batch-tile OUTER, time
+    INNER, so each batch tile scans all of time before the next tile
+    starts (the carry resets at it == 0).
+
+    `descending=True` walks the time grid from the last block to the
+    first and each block from its last row to its first — used by the
+    backward kernels of natural layers AND the forward kernels of
+    `Reverse`d layers (reference flips the data instead,
+    taiyaki/layers.py:117-154; walking the grid backwards skips those HBM
+    round trips entirely).
     """
     if descending:
-        return (lambda i: (ngrid - 1 - i, 0, 0),
+        return (lambda ib, it: (ngrid - 1 - it, ib, 0),
                 lambda j: block_t - 1 - j)
-    return (lambda i: (i, 0, 0), lambda j: j)
+    return (lambda ib, it: (it, ib, 0), lambda j: j)
+
+
+# Index map for weight-like inputs that every grid step reads whole.
+_WMAP = lambda ib, it: (0, 0)
+
+# Time dimension's position in the grid (batch tile is dim 0).
+_TIME_DIM = 1
 
 
 def _lstm_fwd_kernel(gx_ref, swt_ref, h_ref, c_ref, pre_ref,
                      h_carry, c_carry, *, block_t, H, order, precision,
                      unroll=False):
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(_TIME_DIM) == 0)
     def _():
         h_carry[:] = jnp.zeros_like(h_carry)
         c_carry[:] = jnp.zeros_like(c_carry)
@@ -116,6 +154,8 @@ def lstm_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
     H = H4 // 4
     assert T % block_t == 0, (T, block_t)
     ngrid = T // block_t
+    bb = block_b_for(B)
+    nb = B // bb
     imap, order = _time_maps(ngrid, block_t, descending=reverse)
     swt = sW.T  # [H, 4H]
     kernel = functools.partial(_lstm_fwd_kernel, block_t=block_t, H=H,
@@ -123,16 +163,16 @@ def lstm_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
                                unroll=unroll)
     return pl.pallas_call(
         kernel,
-        grid=(ngrid,),
+        grid=(nb, ngrid),
         in_specs=[
-            pl.BlockSpec((block_t, B, H4), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H4), lambda i: (0, 0),
+            pl.BlockSpec((block_t, bb, H4), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), _WMAP,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((block_t, B, H), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, B, H), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, B, H4), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, H), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, H), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, H4), imap, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, H), h_dtype or jnp.float32),
@@ -140,8 +180,8 @@ def lstm_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
             jax.ShapeDtypeStruct((T, B, H4), res_dt),
         ],
         scratch_shapes=[
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((bb, H), jnp.float32),
+            pltpu.VMEM((bb, H), jnp.float32),
         ],
         interpret=interpret,
     )(gates_x, swt)
@@ -163,7 +203,7 @@ def _emit_dx(g_ref, iwt_ref, dx_ref):
 def _lstm_bwd_kernel(dh_ref, pre_ref, c_ref, cprev_ref, sw_ref, dpre_ref,
                      dh_carry, dc_carry, *, block_t, H, order,
                      unroll=False):
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(_TIME_DIM) == 0)
     def _():
         dh_carry[:] = jnp.zeros_like(dh_carry)
         dc_carry[:] = jnp.zeros_like(dc_carry)
@@ -226,6 +266,8 @@ def lstm_bwd(dh_out, pre, c, c_prev, sW, block_t=DEFAULT_BLOCK_T,
     H4 = 4 * H
     assert T % block_t == 0
     ngrid = T // block_t
+    bb = block_b_for(B)
+    nb = B // bb
     imap, order = _time_maps(ngrid, block_t, descending=not reverse)
     with_dx = iW is not None
     kfn = _lstm_bwd_dx_kernel if with_dx else _lstm_bwd_kernel
@@ -233,14 +275,14 @@ def lstm_bwd(dh_out, pre, c, c_prev, sW, block_t=DEFAULT_BLOCK_T,
                                unroll=unroll)
 
     in_specs = [
-        pl.BlockSpec((block_t, B, H), imap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_t, B, H4), imap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_t, B, H), imap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_t, B, H), imap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((H4, H), lambda i: (0, 0),
+        pl.BlockSpec((block_t, bb, H), imap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_t, bb, H4), imap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_t, bb, H), imap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_t, bb, H), imap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((H4, H), _WMAP,
                      memory_space=pltpu.VMEM),
     ]
-    out_specs = pl.BlockSpec((block_t, B, H4), imap,
+    out_specs = pl.BlockSpec((block_t, bb, H4), imap,
                              memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((T, B, H4), grad_dtype or dh_out.dtype)
     args = [dh_out, pre, c, c_prev, sW]
@@ -249,10 +291,10 @@ def lstm_bwd(dh_out, pre, c, c_prev, sW, block_t=DEFAULT_BLOCK_T,
         # iW stays in its own (f32) dtype like the removed einsum's
         # operand; the stored (grad_dtype) dpre supplies the other side
         args.append(iW)
-        in_specs.append(pl.BlockSpec((H4, D), lambda i: (0, 0),
+        in_specs.append(pl.BlockSpec((H4, D), _WMAP,
                                      memory_space=pltpu.VMEM))
         out_specs = [out_specs,
-                     pl.BlockSpec((block_t, B, D), imap,
+                     pl.BlockSpec((block_t, bb, D), imap,
                                   memory_space=pltpu.VMEM)]
         out_shape = [out_shape,
                      jax.ShapeDtypeStruct((T, B, D),
@@ -260,13 +302,13 @@ def lstm_bwd(dh_out, pre, c, c_prev, sW, block_t=DEFAULT_BLOCK_T,
 
     return pl.pallas_call(
         kernel,
-        grid=(ngrid,),
+        grid=(nb, ngrid),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((bb, H), jnp.float32),
+            pltpu.VMEM((bb, H), jnp.float32),
         ],
         interpret=interpret,
     )(*args)
@@ -303,7 +345,7 @@ def _block_base(ngrid, block_t, descending):
     """Global time index of this grid step's first in-block row (as a
     traced value; program_id must be read at kernel top level for
     interpret mode)."""
-    pid = pl.program_id(0)
+    pid = pl.program_id(_TIME_DIM)
     block = (ngrid - 1 - pid) if descending else pid
     return block * block_t
 
@@ -313,7 +355,7 @@ def _lstm_fused_fwd_kernel(x_ref, iwt_ref, b_ref, swt_ref,
                            h_carry, c_carry, gx_scratch,
                            *, block_t, H, T, ngrid, descending, order,
                            precision, unroll=False):
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(_TIME_DIM) == 0)
     def _():
         h_carry[:] = jnp.zeros_like(h_carry)
         c_carry[:] = jnp.zeros_like(c_carry)
@@ -370,6 +412,8 @@ def lstm_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
     res_dt = residual_dtype or x.dtype
     assert Tp % block_t == 0, (Tp, block_t)
     ngrid = Tp // block_t
+    bb = block_b_for(B)
+    nb = B // bb
     imap, order = _time_maps(ngrid, block_t, descending=reverse)
     kernel = functools.partial(
         _lstm_fused_fwd_kernel, block_t=block_t, H=H,
@@ -378,20 +422,20 @@ def lstm_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
         unroll=unroll)
     return pl.pallas_call(
         kernel,
-        grid=(ngrid,),
+        grid=(nb, ngrid),
         in_specs=[
-            pl.BlockSpec((block_t, B, D), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, H4), lambda i: (0, 0),
+            pl.BlockSpec((block_t, bb, D), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, H4), _WMAP,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H4), lambda i: (0, 0),
+            pl.BlockSpec((1, H4), _WMAP,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H4), lambda i: (0, 0),
+            pl.BlockSpec((H, H4), _WMAP,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((block_t, B, H), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, B, H), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, B, H4), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, H), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, H), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, H4), imap, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Tp, B, H), h_dtype or jnp.float32),
@@ -399,9 +443,9 @@ def lstm_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
             jax.ShapeDtypeStruct((Tp, B, H4), res_dt),
         ],
         scratch_shapes=[
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((block_t, B, H4), jnp.float32),
+            pltpu.VMEM((bb, H), jnp.float32),
+            pltpu.VMEM((bb, H), jnp.float32),
+            pltpu.VMEM((block_t, bb, H4), jnp.float32),
         ],
         interpret=interpret,
     )(x, iW.T, b.reshape(1, H4), sW.T)
@@ -411,7 +455,7 @@ def _gru_fused_fwd_kernel(x_ref, iwt_ref, b_ref, swt_ref,
                           h_ref, gh_ref, gx_ref, h_carry, gx_scratch,
                           *, block_t, H, T, ngrid, descending, order,
                           precision, unroll=False):
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(_TIME_DIM) == 0)
     def _():
         h_carry[:] = jnp.zeros_like(h_carry)
 
@@ -450,6 +494,8 @@ def gru_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
     res_dt = residual_dtype or x.dtype
     assert Tp % block_t == 0
     ngrid = Tp // block_t
+    bb = block_b_for(B)
+    nb = B // bb
     imap, order = _time_maps(ngrid, block_t, descending=reverse)
     kernel = functools.partial(
         _gru_fused_fwd_kernel, block_t=block_t, H=H,
@@ -458,20 +504,20 @@ def gru_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
         unroll=unroll)
     return pl.pallas_call(
         kernel,
-        grid=(ngrid,),
+        grid=(nb, ngrid),
         in_specs=[
-            pl.BlockSpec((block_t, B, D), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, H3), lambda i: (0, 0),
+            pl.BlockSpec((block_t, bb, D), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, H3), _WMAP,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H3), lambda i: (0, 0),
+            pl.BlockSpec((1, H3), _WMAP,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H3), lambda i: (0, 0),
+            pl.BlockSpec((H, H3), _WMAP,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((block_t, B, H), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, B, H3), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, B, H3), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, H), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, H3), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, H3), imap, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Tp, B, H), h_dtype or jnp.float32),
@@ -479,8 +525,8 @@ def gru_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
             jax.ShapeDtypeStruct((Tp, B, H3), res_dt),
         ],
         scratch_shapes=[
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((block_t, B, H3), jnp.float32),
+            pltpu.VMEM((bb, H), jnp.float32),
+            pltpu.VMEM((block_t, bb, H3), jnp.float32),
         ],
         interpret=interpret,
     )(x, iW.T, b.reshape(1, H3), sW.T)
@@ -490,7 +536,7 @@ def gru_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
 
 def _gru_fwd_kernel(gx_ref, swt_ref, h_ref, gh_ref, h_carry,
                     *, block_t, H, order, precision, unroll=False):
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(_TIME_DIM) == 0)
     def _():
         h_carry[:] = jnp.zeros_like(h_carry)
 
@@ -523,27 +569,29 @@ def gru_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
     res_dt = residual_dtype or gates_x.dtype
     assert T % block_t == 0
     ngrid = T // block_t
+    bb = block_b_for(B)
+    nb = B // bb
     imap, order = _time_maps(ngrid, block_t, descending=reverse)
     kernel = functools.partial(_gru_fwd_kernel, block_t=block_t, H=H,
                                order=order, precision=precision,
                                unroll=unroll)
     return pl.pallas_call(
         kernel,
-        grid=(ngrid,),
+        grid=(nb, ngrid),
         in_specs=[
-            pl.BlockSpec((block_t, B, H3), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H3), lambda i: (0, 0),
+            pl.BlockSpec((block_t, bb, H3), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H3), _WMAP,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((block_t, B, H), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, B, H3), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, H), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, H3), imap, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, H), h_dtype or jnp.float32),
             jax.ShapeDtypeStruct((T, B, H3), res_dt),
         ],
-        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bb, H), jnp.float32)],
         interpret=interpret,
     )(gates_x, sW.T)
 
@@ -551,7 +599,7 @@ def gru_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
 def _gru_bwd_kernel(dh_ref, gx_ref, gh_ref, hprev_ref, sw_ref,
                     dgx_ref, dgh_ref, dh_carry, *, block_t, H, order,
                     unroll=False):
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(_TIME_DIM) == 0)
     def _():
         dh_carry[:] = jnp.zeros_like(dh_carry)
 
@@ -610,6 +658,8 @@ def gru_bwd(dh_out, gates_x, gh, h_prev, sW, block_t=DEFAULT_BLOCK_T,
     H3 = 3 * H
     assert T % block_t == 0
     ngrid = T // block_t
+    bb = block_b_for(B)
+    nb = B // bb
     imap, order = _time_maps(ngrid, block_t, descending=not reverse)
     with_dx = iW is not None
     kfn = _gru_bwd_dx_kernel if with_dx else _gru_bwd_kernel
@@ -618,16 +668,16 @@ def gru_bwd(dh_out, gates_x, gh, h_prev, sW, block_t=DEFAULT_BLOCK_T,
 
     gdt = grad_dtype or dh_out.dtype
     in_specs = [
-        pl.BlockSpec((block_t, B, H), imap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_t, B, H3), imap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_t, B, H3), imap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_t, B, H), imap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((H3, H), lambda i: (0, 0),
+        pl.BlockSpec((block_t, bb, H), imap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_t, bb, H3), imap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_t, bb, H3), imap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_t, bb, H), imap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((H3, H), _WMAP,
                      memory_space=pltpu.VMEM),
     ]
     out_specs = [
-        pl.BlockSpec((block_t, B, H3), imap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_t, B, H3), imap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_t, bb, H3), imap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_t, bb, H3), imap, memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((T, B, H3), gdt),
@@ -637,19 +687,19 @@ def gru_bwd(dh_out, gates_x, gh, h_prev, sW, block_t=DEFAULT_BLOCK_T,
     if with_dx:
         D = iW.shape[1]
         args.append(iW)
-        in_specs.append(pl.BlockSpec((H3, D), lambda i: (0, 0),
+        in_specs.append(pl.BlockSpec((H3, D), _WMAP,
                                      memory_space=pltpu.VMEM))
-        out_specs.append(pl.BlockSpec((block_t, B, D), imap,
+        out_specs.append(pl.BlockSpec((block_t, bb, D), imap,
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((T, B, D),
                                               dx_dtype or jnp.float32))
 
     return pl.pallas_call(
         kernel,
-        grid=(ngrid,),
+        grid=(nb, ngrid),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bb, H), jnp.float32)],
         interpret=interpret,
     )(*args)

@@ -349,3 +349,38 @@ def test_cat_mod_loss_works_under_jit():
     ref = ffops.cat_mod_flipflop_loss(
         x, seq, seqlens, mod_cats, offsets, weights)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
+
+
+def test_degenerate_seqlen_no_nan_gradient():
+    """A chunk whose sequence is longer than nblk + 1 has NO valid path:
+    cost must be huge/inf-ish and the gradient all-zero for that row —
+    never NaN.  (Round-2 regression: the Pallas backward divided 0/0
+    because its 1e-38 denom guard is subnormal in f32 and flushed to
+    zero; degenerate rows NaN'd the whole batch's gradients.  Exercises
+    the scan path on CPU; the Pallas path was verified on-chip.)"""
+    import jax
+    import jax.numpy as jnp
+    from taiyaki_tpu.ops import flipflop as ffops
+    from taiyaki_tpu.flipflopfings import flipflop_code
+
+    rng = np.random.default_rng(0)
+    T, B, maxseq = 16, 4, 64
+    tw = jnp.asarray(rng.normal(size=(T, B, 40)).astype(np.float32))
+    seqs = np.zeros((B, maxseq), np.int32)
+    lens = np.array([10, 40, 12, 60], np.int32)  # rows 1,3 degenerate
+    for i in range(B):
+        seqs[i, :lens[i]] = flipflop_code(rng.integers(0, 4, size=lens[i]))
+
+    def f(tw):
+        return ffops.crf_flipflop_loss(tw, jnp.asarray(seqs),
+                                       jnp.asarray(lens), 1.0).sum()
+
+    loss, g = jax.value_and_grad(f)(tw)
+    g = np.asarray(g)
+    assert not np.isnan(g).any()
+    assert np.isfinite(np.asarray(
+        ffops.crf_flipflop_loss(tw, jnp.asarray(seqs),
+                                jnp.asarray(lens), 1.0))[[0, 2]]).all()
+    # degenerate rows contribute zero gradient
+    assert np.abs(g[:, [1, 3], :]).max() == 0.0
+    assert np.abs(g[:, [0, 2], :]).max() > 0.0

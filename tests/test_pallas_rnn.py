@@ -278,20 +278,37 @@ def test_gru_fused_fwd_matches_unfused():
 
 
 def test_block_t_scales_down_with_batch():
-    # VMEM streams scale with block_t * B; larger batches must shrink
-    # block_t (power of two) to stay within the tuned B=64 budget.
+    # The RNN kernels tile the batch axis across the grid, so block_t is
+    # constant and the batch tile divides the batch (VMEM per grid step
+    # is bounded by block_t * block_b regardless of total batch).
     from taiyaki_tpu.ops import pallas_crf
     assert pallas_rnn.block_t_for(64) == 8
-    assert pallas_rnn.block_t_for(128) == 4
+    assert pallas_rnn.block_t_for(128) == 4      # pre-tiling tuning kept
     assert pallas_rnn.block_t_for(256) == 2
-    assert pallas_rnn.block_t_for(1024) == 1
+    assert pallas_rnn.block_t_for(512) == 2      # 2 tiles of 256
+    assert pallas_rnn.block_b_for(64) == 64
+    assert pallas_rnn.block_b_for(256) == 256
+    assert pallas_rnn.block_b_for(512) == 256
+    assert pallas_rnn.block_b_for(8) == 8
+    assert pallas_rnn.block_b_for(24) == 8
+    assert pallas_rnn.block_b_for(96) == 32
+    for b in (8, 16, 24, 64, 96, 128, 256, 512, 1024):
+        assert b % pallas_rnn.block_b_for(b) == 0
+    # CRF kernels: 64-row batch tiles, so block_t is flat at its tuned
+    # value once the tile is the full 64 rows
     assert pallas_crf.fwd_block_t(64) == 8
-    assert pallas_crf.fwd_block_t(128) == 4
+    assert pallas_crf.fwd_block_t(128) == 4    # pre-tiling tuning kept
+    assert pallas_crf.fwd_block_t(256) == 2
+    assert pallas_crf.fwd_block_t(1024) == 2   # 4 tiles of 256
     assert pallas_crf.bwd_block_t(64) == 4
-    assert pallas_crf.bwd_block_t(128) == 2
+    assert pallas_crf.bwd_block_t(1024) == 1
+    assert pallas_crf.block_b_for(1024) == 256
+    assert pallas_crf.block_b_for(96) == 32
+    assert pallas_crf.block_b_for(6) == 6   # odd batches: single tile
     # backward block always divides the forward padding
-    for b in (8, 16, 64, 96, 128, 256, 512, 1024):
+    for b in (6, 8, 16, 64, 96, 128, 256, 512, 1024):
         assert pallas_crf.fwd_block_t(b) % pallas_crf.bwd_block_t(b) == 0
+        assert b % pallas_crf.block_b_for(b) == 0
 
 
 def test_lstm_bf16_grad_stream_close():
@@ -335,3 +352,37 @@ def test_lstm_bf16_residuals_close():
                               interpret=True)
     np.testing.assert_allclose(np.asarray(d16), np.asarray(d32),
                                rtol=0.1, atol=0.02)
+
+
+def test_batch_tiled_grid_matches_scan():
+    """B=24 runs as 3 batch tiles of 8 (batch-tile outer grid dim); every
+    tile must reset its carry and produce exactly the single-tile result,
+    in both time directions, fwd and bwd."""
+    for reverse in (False, True):
+        gates_x, sW = setup(3, B=24, seed=11)
+        T, B, _ = gates_x.shape
+        H = sW.shape[1]
+        assert pallas_rnn.block_b_for(B) == 8 and B // 8 == 3
+        h_ref, _ = rnn._gru_fwd_core(gates_x, sW, reverse)
+        h, gh = pallas_rnn.gru_fwd(gates_x, sW, block_t=8, interpret=True,
+                                   reverse=reverse)
+        np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref),
+                                   rtol=1e-5, atol=1e-6)
+        rng = np.random.default_rng(12)
+        dh_out = jnp.asarray(rng.normal(size=(T, B, H)).astype(np.float32))
+        h_prev = rnn._prev_state(h, reverse)
+        dgx, dgh = pallas_rnn.gru_bwd(dh_out, gates_x, gh, h_prev, sW,
+                                      block_t=8, interpret=True,
+                                      reverse=reverse)
+        _, vjp_fn = jax.vjp(
+            lambda gx: rnn._gru_scan_fns[reverse](gx, sW), gates_x)
+        dgx_ref, = vjp_fn(dh_out)
+        np.testing.assert_allclose(np.asarray(dgx), np.asarray(dgx_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+        gx4, sW4 = setup(4, B=24, seed=13)
+        h_ref4, _ = rnn._lstm_fwd_core(gx4, sW4, reverse)
+        h4, c4, pre4 = pallas_rnn.lstm_fwd(gx4, sW4, block_t=8,
+                                           interpret=True, reverse=reverse)
+        np.testing.assert_allclose(np.asarray(h4), np.asarray(h_ref4),
+                                   rtol=1e-5, atol=1e-6)
