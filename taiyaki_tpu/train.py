@@ -220,15 +220,18 @@ def sample_batch(read_data, batch_chunk_len, sub_batch_size, max_seqlen,
                  alphabet_info, filter_params, reverse=False,
                  standardize=True, can_labels=None, mod_labels=None,
                  select_strands_randomly=True, first_strand_index=0,
-                 log=None, seqlen_granularity=None):
+                 log=None, seqlen_granularity=None, seqlen_reduce=None):
     """Sample + filter chunks and assemble a Batch
     (reference: bin/train_flipflop.py:78-142).
 
     seqlen_granularity, if set, pads sequences to the smallest multiple
     of it that fits the sampled batch instead of to max_seqlen (the
-    path-buffer bound) — see bucket_seqlen.  Leave None when all hosts
-    of a multihost run must agree on shapes (the bucket choice is
-    data-dependent and per-host).
+    path-buffer bound) — see bucket_seqlen.  The bucket choice is
+    data-dependent and per-host: multihost runs must pass
+    `seqlen_reduce`, a callable mapping this host's max sequence length
+    to a cross-host agreed value (e.g. the global max — see
+    bin/train_flipflop.py:_seqlen_sync), so every host pads to the same
+    bucket.
 
     Returns:
         (Batch, rejection_counts)
@@ -243,6 +246,8 @@ def sample_batch(read_data, batch_chunk_len, sub_batch_size, max_seqlen,
                   "{}).\n".format(len(chunk_batch), sub_batch_size))
     if seqlen_granularity:
         actual = max((c.seq_len for c in chunk_batch), default=1)
+        if seqlen_reduce is not None:
+            actual = int(seqlen_reduce(actual))
         max_seqlen = bucket_seqlen(actual, max_seqlen, seqlen_granularity)
     batch = prepare_batch(chunk_batch, batch_chunk_len, max_seqlen,
                           alphabet_info, reverse=reverse,

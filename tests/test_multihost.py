@@ -44,9 +44,14 @@ def launch(proc_id, outdir):
     )
     # each process must have its own compile cache dir or they race
     env.pop("JAX_COMPILATION_CACHE_DIR", None)
+    # --seqlen_buckets (explicit): multihost bucketing syncs the
+    # data-dependent bucket via the coordination-service KV store
+    # (_seqlen_sync); hosts disagreeing on padded shapes would crash or
+    # deadlock the psum, so this test completing IS the shape-agreement
+    # assertion.
     args = [sys.executable,
             os.path.join(REPO, "bin", "train_flipflop.py"),
-            "--device", "cpu", "--multihost",
+            "--device", "cpu", "--multihost", "--seqlen_buckets",
             "--size", "16", "--stride", "2", "--winlen", "9",
             "--niteration", "3", "--warmup_batches", "1",
             "--chunk_len_min", "300", "--chunk_len_max", "400",
