@@ -17,6 +17,7 @@ from taiyaki_tpu.flipflopfings import nbase_flipflop
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "beamsearch.cpp")
+_SRCS = [_SRC, os.path.join(_DIR, "squiggleviterbi.cpp")]
 _LIB_PATH = os.path.join(_DIR, "_libdecodeutil.so")
 _LOCK = threading.Lock()
 _LIB = None
@@ -26,7 +27,8 @@ def _build():
     # compile to a per-process temp name and rename atomically: two
     # processes racing a first-use build must never dlopen a partial .so
     tmp = "{}.{}.tmp".format(_LIB_PATH, os.getpid())
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", tmp, _SRC]
+    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
+           "-fPIC", "-o", tmp] + _SRCS
     subprocess.run(cmd, check=True, capture_output=True, text=True)
     os.replace(tmp, _LIB_PATH)
 
@@ -37,7 +39,8 @@ def _get_lib():
         if _LIB is not None:
             return _LIB
         if (not os.path.exists(_LIB_PATH)
-                or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
+                or any(os.path.getmtime(_LIB_PATH) < os.path.getmtime(s)
+                       for s in _SRCS)):
             _build()
         try:
             lib = ctypes.CDLL(_LIB_PATH)
@@ -61,6 +64,11 @@ def _get_lib():
         lib.tt_flipflop_backward.argtypes = [
             f32p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p,
             ctypes.c_void_p]
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.tt_squiggle_viterbi.restype = ctypes.c_float
+        lib.tt_squiggle_viterbi.argtypes = [
+            f32p, ctypes.c_size_t, f32p, ctypes.c_size_t,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, i32p]
         _LIB = lib
         return lib
 
@@ -136,3 +144,31 @@ def beamsearch(score, beam_cut=0.0, beam_width=5, guided=True):
     end = np.nonzero(seq == -1)[0]
     seqlen = int(end[0]) if len(end) else nt + 1
     return seq[:seqlen], float(read_score)
+
+
+def squiggle_viterbi(params, signal, back_prob, localpen, minscore):
+    """Glocal squiggle-match Viterbi path for one read (C++).
+
+    Native equivalent of the numpy loop in
+    ops/squiggle.py:squiggle_match_viterbi_path (reference:
+    squiggle_match_viterbi, c_squiggle_match.c:269-455); identical
+    semantics, ~interpreter-loop-times faster on real-length reads.
+
+    Args:
+        params: [npos, 3] float (level, log-scale, rate).
+        signal: [nsample] float observed current.
+        back_prob / localpen / minscore: as in the python wrapper
+            (pass LARGE_LOG_VAL for "no localpen/minscore").
+
+    Returns:
+        (score, path [nsample] int32) — positions, -1 in clipped
+        head/tail.
+    """
+    params = np.ascontiguousarray(params, dtype=np.float32)
+    signal = np.ascontiguousarray(signal, dtype=np.float32)
+    npos, nsample = len(params), len(signal)
+    path = np.empty(nsample, dtype=np.int32)
+    score = _get_lib().tt_squiggle_viterbi(
+        params, npos, signal, nsample, float(back_prob),
+        float(localpen), float(minscore), path)
+    return float(score), path

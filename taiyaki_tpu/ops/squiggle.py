@@ -132,11 +132,20 @@ def squiggle_match_viterbi_path(params, signal, back_prob, localpen=None,
     Returns:
         (score, path [nsample]) — path entries are sequence positions, -1
         in clipped head/tail.
+
+    Dispatches to the C++ kernel (decodeutil.squiggle_viterbi) unless
+    TAIYAKI_TPU_NO_NATIVE=1; the numpy loop below is the tested
+    reference semantics and the fallback.
     """
+    import os
     params = np.asarray(params, dtype=np.float32)
     signal = np.asarray(signal, dtype=np.float32)
     localpen = LARGE_LOG_VAL if localpen is None else localpen
     minscore = LARGE_LOG_VAL if minscore is None else minscore
+    if os.environ.get("TAIYAKI_TPU_NO_NATIVE") != "1":
+        from taiyaki_tpu import decodeutil
+        return decodeutil.squiggle_viterbi(params, signal, back_prob,
+                                           localpen, minscore)
     npos = len(params)
     nsample = len(signal)
     nfstate = npos + 2                 # start + positions + end
