@@ -68,6 +68,53 @@ def emit_error(message):
     }))
 
 
+def main_basecall():
+    """Second tracked metric (BENCH_METRIC=basecall): device-side
+    basecall chain — model forward -> posterior transitions
+    (make_trans) -> Viterbi best path — in ksample/s on the production
+    mLstm shape.  Host-side chunking/stitching/fasta IO are excluded
+    (they overlap device compute through the chunk queue in
+    bin/basecall.py)."""
+    import jax
+    import jax.numpy as jnp
+    from taiyaki_tpu.models import mLstm_flipflop
+    from taiyaki_tpu.ops import decode as dec
+
+    chunk_len = 4000
+    batch_size = int(os.environ.get("BENCH_BATCH", "128"))
+    size = int(os.environ.get("BENCH_SIZE", "256"))
+    rng = np.random.default_rng(0)
+    net = mLstm_flipflop.network(size=size, stride=5, winlen=19)
+    params = jax.device_put(net.init(rng))
+    x = jnp.asarray(rng.normal(
+        size=(chunk_len, batch_size, 1)).astype(np.float32))
+
+    @jax.jit
+    def chain(params, x):
+        trans = dec.flipflop_make_trans(net.apply(params, x))
+        path = dec.flipflop_viterbi(
+            jnp.log(jnp.maximum(trans, 1e-30)))[2]
+        return path.sum()
+
+    float(chain(params, x))  # compile + reliable barrier (see main())
+    best = None
+    for _ in range(3):
+        niter = 20
+        t0 = time.perf_counter()
+        for _ in range(niter):
+            r = chain(params, x)
+        float(r)
+        dt = time.perf_counter() - t0
+        best = max(best or 0.0, niter * batch_size * chunk_len / dt)
+    print(json.dumps({
+        "metric": "basecall_ksample_per_sec",
+        "value": round(best / 1e3, 1),
+        "unit": "ksample/s (mLstm{} s5 chunk4000 bs{}, fwd+make_trans+"
+                "viterbi)".format(size, batch_size),
+        "vs_baseline": None,
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -162,7 +209,10 @@ if __name__ == "__main__":
         emit_error("backend probe failed after retries: %s" % err)
         sys.exit(0)
     try:
-        main()
+        if os.environ.get("BENCH_METRIC") == "basecall":
+            main_basecall()
+        else:
+            main()
     except Exception as exc:  # emit structured JSON even on failure
         emit_error("%s: %s" % (type(exc).__name__, exc))
         sys.exit(0)

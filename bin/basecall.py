@@ -293,11 +293,29 @@ def finalize_read(prep, trans, paths, mods, errprobs, chunk_size, stride,
 
     qstring = None
     if fastq and beam is not None:
-        # The reference crashes here (undefined chunk_best_paths in its
-        # beam branch); we degrade gracefully: beam output has no per-base
-        # transition posteriors to derive q-scores from.
-        sys.stderr.write("* Warning: --fastq with --beam emits fasta-style "
-                         "records without quality strings.\n")
+        # q-scores along the beam path: the beam returns a base sequence
+        # with no block alignment, so align it back to the blocks with
+        # the glocal remap Viterbi against the same stitched scores the
+        # beam consumed, then read per-base error probabilities off that
+        # alignment exactly as the Viterbi path does.  (The reference's
+        # own beam+fastq branch is a latent NameError,
+        # /root/reference/bin/basecall.py:215-229 — this exceeds it
+        # instead of degrading to fasta.)
+        from taiyaki_tpu import flipflop_remap
+        from taiyaki_tpu.flipflopfings import nbase_flipflop
+        nbase = nbase_flipflop(stitched_trans.shape[1])
+        seq_str = path_to_str(best_path, alphabet=alphabet[:nbase],
+                              include_first_source=True)
+        _, pos_path = flipflop_remap.flipflop_remap(
+            np.asarray(stitched_trans), seq_str,
+            alphabet=alphabet[:nbase])
+        pos_path = np.clip(pos_path, 0, len(best_path) - 1)
+        state_path = np.asarray(best_path)[pos_path]
+        block_errprobs = qscores.errprobs_from_trans(
+            np.asarray(stitched_trans)[:, None, :],
+            state_path[:, None])[:, 0]
+        qstring = qscores.path_errprobs_to_qstring(
+            block_errprobs, state_path, qscore_scale, qscore_offset)
     elif fastq:
         # per-chunk error probs were computed on-device alongside Viterbi
         stitched_errprobs = basecall_helpers.stitch_chunks(

@@ -74,3 +74,48 @@ def test_basecall_cli_matches_reference_chain(tmp_path):
         assert got[rid] == expected[rid], (
             "basecall for {} diverged from reference".format(rid))
     assert "5 reads" in result.stderr or "Called 5" in result.stderr
+
+
+@pytest.mark.skipif(not os.path.isdir(READS_DIR),
+                    reason="reference fixtures not present")
+def test_beam_fastq_emits_quality_strings(tmp_path):
+    """--fastq with --beam must emit real fastq records whose quality
+    string length equals the basecall length (the beam sequence is
+    aligned back to the blocks for per-base error probs).  The
+    reference's own beam+fastq path is a latent NameError
+    (bin/basecall.py:215-229) — this exceeds it."""
+    out = str(tmp_path / "calls.fastq")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    result = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bin", "basecall.py"),
+         "--device", "cpu", "--output", out, "--max_concurrent_chunks", "8",
+         "--fastq", "--beam", "5", "True", "--quiet",
+         READS_DIR, MODEL],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert result.returncode == 0, result.stderr[-2000:]
+    lines = open(out).read().splitlines()
+    assert len(lines) % 4 == 0 and len(lines) >= 4 * 5
+    for i in range(0, len(lines), 4):
+        assert lines[i].startswith("@")
+        assert lines[i + 2] == "+"
+        seq, qual = lines[i + 1], lines[i + 3]
+        assert len(seq) == len(qual) > 0
+        assert all(33 <= ord(c) < 127 for c in qual)
+    # q-scores must match the Viterbi path's error-prob scale (this
+    # model emits ~uniform low q on the fixtures pre-calibration —
+    # misc/calibrate_qscores_byread.py is the reference's answer); a
+    # broken branch would emit '!' (errprob 1 / the -1 fill)
+    quals = "".join(lines[i + 3] for i in range(0, len(lines), 4))
+    assert "!" not in quals
+    out_v = str(tmp_path / "calls_vit.fastq")
+    result = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bin", "basecall.py"),
+         "--device", "cpu", "--output", out_v,
+         "--max_concurrent_chunks", "8", "--fastq", "--quiet",
+         READS_DIR, MODEL],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert result.returncode == 0, result.stderr[-2000:]
+    vlines = open(out_v).read().splitlines()
+    vquals = "".join(vlines[i + 3] for i in range(0, len(vlines), 4))
+    mean_q = lambda qs: sum(ord(c) - 33 for c in qs) / len(qs)
+    assert abs(mean_q(quals) - mean_q(vquals)) < 3.0
