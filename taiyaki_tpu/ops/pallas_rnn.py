@@ -200,6 +200,151 @@ def _emit_dx(g_ref, iwt_ref, dx_ref):
     dx_ref[:] = dx.reshape(bt, B, dx.shape[-1]).astype(dx_ref.dtype)
 
 
+def _lstm_cell_bwd(dh_ref, pre_ref, c_ref, cprev_ref, dh_carry, dc_carry,
+                   k, H):
+    """One LSTM step's gate gradients (shared by the bwd kernel
+    variants).  Returns (dpre [B, 4H] f32, dc [B, H] f32)."""
+    pre = pre_ref[k].astype(jnp.float32)
+    i = jax.nn.sigmoid(pre[:, :H])
+    f = jax.nn.sigmoid(pre[:, H:2 * H])
+    g = jnp.tanh(pre[:, 2 * H:3 * H])
+    o = jax.nn.sigmoid(pre[:, 3 * H:])
+    tc = jnp.tanh(c_ref[k].astype(jnp.float32))
+    dh = dh_ref[k] + dh_carry[:]
+    do = dh * tc
+    dc = dh * o * (1.0 - tc * tc) + dc_carry[:]
+    di = dc * g
+    df = dc * cprev_ref[k].astype(jnp.float32)
+    dg = dc * i
+    dpre = jnp.concatenate(
+        [di * i * (1.0 - i), df * f * (1.0 - f),
+         dg * (1.0 - g * g), do * o * (1.0 - o)], axis=1)
+    return dpre, dc * f
+
+
+# contract the batch axis of two [B, *] blocks -> [*, *] weight-grad tile
+_BATCH_CONTRACT = (((0,), (0,)), ((), ()))
+
+
+def _lstm_bwd_fusedw_kernel(dh_ref, pre_ref, c_ref, cprev_ref, h_ref, x_ref,
+                            sw_ref, iwt_ref,
+                            dx_ref, dsw_ref, diw_ref, db_ref,
+                            dh_carry, dc_carry, g_hold,
+                            *, block_t, H, T, ngrid, descending, order,
+                            unroll=False):
+    """Backward with the weight gradients accumulated IN-KERNEL.
+
+    The gate-gradient stream never touches HBM: d_x is emitted per step,
+    and d_sW / d_iW / d_b accumulate into per-batch-tile output blocks
+    (f32) that stay VMEM-resident across the tile's whole time walk —
+    removing the dpre stream write plus the two big einsum re-reads
+    (measured ~3.1 ms/layer at bs256, ~30% of the train step across 5
+    layers).
+
+    d_sW pairing trick: d_sW = sum_t dpre[t] (x) h_prev[t], and
+    h_prev[t] is exactly the h of the NEXT step this (time-opposite)
+    walk visits — so each step contracts the HELD gate gradient of the
+    previously-visited step with its own h, and the held block rolls
+    forward.  The boundary terms vanish (initial hold is zero; the last
+    step's dpre pairs with the zero initial state).  Works unchanged in
+    both directions.
+    """
+    @pl.when(pl.program_id(_TIME_DIM) == 0)
+    def _():
+        dh_carry[:] = jnp.zeros_like(dh_carry)
+        dc_carry[:] = jnp.zeros_like(dc_carry)
+        g_hold[:] = jnp.zeros_like(g_hold)
+        dsw_ref[:] = jnp.zeros_like(dsw_ref)
+        diw_ref[:] = jnp.zeros_like(diw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    base = _block_base(ngrid, block_t, descending)
+
+    def body(j, _):
+        k = order(j)
+        dpre, dc_next = _lstm_cell_bwd(dh_ref, pre_ref, c_ref, cprev_ref,
+                                       dh_carry, dc_carry, k, H)
+        # zero-padded tail rows must not leak into d_b (reverse layers
+        # walk the gradient chain INTO the padding: the carry makes
+        # dpre nonzero there even though every input row is zero)
+        dpre = jnp.where(base + k < T, dpre, 0.0)
+        dx = jnp.dot(dpre, iwt_ref[:], preferred_element_type=jnp.float32)
+        dx_ref[k] = dx.astype(dx_ref.dtype)
+        dsw_ref[0] += jax.lax.dot_general(
+            g_hold[:], h_ref[k].astype(jnp.float32), _BATCH_CONTRACT,
+            preferred_element_type=jnp.float32)
+        diw_ref[0] += jax.lax.dot_general(
+            dpre, x_ref[k].astype(jnp.float32), _BATCH_CONTRACT,
+            preferred_element_type=jnp.float32)
+        db_ref[:] += jnp.sum(dpre, axis=0, keepdims=True)
+        g_hold[:] = dpre
+        dh_carry[:] = jnp.dot(dpre, sw_ref[:],
+                              preferred_element_type=jnp.float32)
+        dc_carry[:] = dc_next
+        return 0
+
+    run_steps(body, block_t, unroll)
+
+
+def lstm_bwd_fusedw(dh_out, pre, c, c_prev, h, x, sW, iW,
+                    block_t=DEFAULT_BLOCK_T, interpret=False, reverse=False,
+                    dx_dtype=None, true_len=None, unroll=False):
+    """Fused LSTM backward emitting (d_x, d_sW, d_iW, d_b) directly.
+
+    All [T, B, *] streams must share T (padded to block_t).  Weight
+    gradients come back as per-batch-tile partials ([nb, 4H, H] /
+    [nb, 4H, D] / [nb, 4H]) for the caller to sum — per-tile
+    accumulation happens in VMEM across the tile's time walk.
+    """
+    T, B, H = dh_out.shape
+    H4 = 4 * H
+    D = iW.shape[1]
+    assert T % block_t == 0
+    ngrid = T // block_t
+    bb = block_b_for(B)
+    nb = B // bb
+    imap, order = _time_maps(ngrid, block_t, descending=not reverse)
+    kernel = functools.partial(
+        _lstm_bwd_fusedw_kernel, block_t=block_t, H=H,
+        T=(T if true_len is None else true_len), ngrid=ngrid,
+        descending=not reverse, order=order, unroll=unroll)
+    wmap3 = lambda ib, it: (ib, 0, 0)
+    dx, dsw, diw, db = pl.pallas_call(
+        kernel,
+        grid=(nb, ngrid),
+        in_specs=[
+            pl.BlockSpec((block_t, bb, H), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, H4), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, H), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, H), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, H), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, D), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H4, H), _WMAP, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H4, D), _WMAP, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_t, bb, D), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H4, H), wmap3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H4, D), wmap3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H4), lambda ib, it: (ib, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, D), dx_dtype or jnp.float32),
+            jax.ShapeDtypeStruct((nb, H4, H), jnp.float32),
+            jax.ShapeDtypeStruct((nb, H4, D), jnp.float32),
+            jax.ShapeDtypeStruct((nb, H4), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bb, H), jnp.float32),
+            pltpu.VMEM((bb, H), jnp.float32),
+            pltpu.VMEM((bb, H4), jnp.float32),
+        ],
+        interpret=interpret,
+    )(dh_out, pre, c, c_prev, h, x, sW, iW)
+    return dx, dsw, diw, db
+
+
 def _lstm_bwd_kernel(dh_ref, pre_ref, c_ref, cprev_ref, sw_ref, dpre_ref,
                      dh_carry, dc_carry, *, block_t, H, order,
                      unroll=False):
@@ -210,21 +355,8 @@ def _lstm_bwd_kernel(dh_ref, pre_ref, c_ref, cprev_ref, sw_ref, dpre_ref,
 
     def body(j, _):
         k = order(j)
-        pre = pre_ref[k].astype(jnp.float32)
-        i = jax.nn.sigmoid(pre[:, :H])
-        f = jax.nn.sigmoid(pre[:, H:2 * H])
-        g = jnp.tanh(pre[:, 2 * H:3 * H])
-        o = jax.nn.sigmoid(pre[:, 3 * H:])
-        tc = jnp.tanh(c_ref[k].astype(jnp.float32))
-        dh = dh_ref[k] + dh_carry[:]
-        do = dh * tc
-        dc = dh * o * (1.0 - tc * tc) + dc_carry[:]
-        di = dc * g
-        df = dc * cprev_ref[k].astype(jnp.float32)
-        dg = dc * i
-        dpre = jnp.concatenate(
-            [di * i * (1.0 - i), df * f * (1.0 - f),
-             dg * (1.0 - g * g), do * o * (1.0 - o)], axis=1)
+        dpre, dc_next = _lstm_cell_bwd(dh_ref, pre_ref, c_ref, cprev_ref,
+                                       dh_carry, dc_carry, k, H)
         # keep f32 operands here: Mosaic's DEFAULT dot precision already
         # lowers them to ONE bf16 MXU pass (verified bit-identical to
         # explicit bf16 operands on v5e), so pre-casting dpre to bf16
@@ -232,7 +364,7 @@ def _lstm_bwd_kernel(dh_ref, pre_ref, c_ref, cprev_ref, sw_ref, dpre_ref,
         dpre_ref[k] = dpre.astype(dpre_ref.dtype)
         dh_carry[:] = jnp.dot(dpre, sw_ref[:],
                               preferred_element_type=jnp.float32)
-        dc_carry[:] = dc * f
+        dc_carry[:] = dc_next
         return 0
 
     run_steps(body, block_t, unroll)
@@ -596,6 +728,120 @@ def gru_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
     )(gates_x, sW.T)
 
 
+def _gru_cell_bwd(dh_ref, gx_ref, gh_ref, hprev_ref, dh_carry, k, H):
+    """One GRU step's gate gradients.  Returns (dgx, dgh, dh*z) f32."""
+    gx = gx_ref[k]
+    gh = gh_ref[k].astype(jnp.float32)
+    h_prev = hprev_ref[k].astype(jnp.float32)
+    r = jax.nn.sigmoid(gx[:, :H] + gh[:, :H])
+    z = jax.nn.sigmoid(gx[:, H:2 * H] + gh[:, H:2 * H])
+    n = jnp.tanh(gx[:, 2 * H:] + r * gh[:, 2 * H:])
+    dh = dh_ref[k] + dh_carry[:]
+    dz = dh * (h_prev - n)
+    dn = dh * (1.0 - z)
+    dn_pre = dn * (1.0 - n * n)
+    dr = dn_pre * gh[:, 2 * H:]
+    dr_pre = dr * r * (1.0 - r)
+    dz_pre = dz * z * (1.0 - z)
+    dgh = jnp.concatenate([dr_pre, dz_pre, dn_pre * r], axis=1)
+    dgx = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
+    return dgx, dgh, dh * z
+
+
+def _gru_bwd_fusedw_kernel(dh_ref, gx_ref, gh_ref, hprev_ref, x_ref,
+                           sw_ref, iwt_ref,
+                           dx_ref, dsw_ref, diw_ref, db_ref, dh_carry,
+                           *, block_t, H, T, ngrid, descending, order,
+                           unroll=False):
+    """GRU backward with in-kernel weight gradients (see the LSTM
+    variant).  Unlike the LSTM, h_prev is already a kernel stream (the
+    cell math needs it), so d_sW contracts it directly — no held
+    block."""
+    @pl.when(pl.program_id(_TIME_DIM) == 0)
+    def _():
+        dh_carry[:] = jnp.zeros_like(dh_carry)
+        dsw_ref[:] = jnp.zeros_like(dsw_ref)
+        diw_ref[:] = jnp.zeros_like(diw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    base = _block_base(ngrid, block_t, descending)
+
+    def body(j, _):
+        k = order(j)
+        dgx, dgh, dhz = _gru_cell_bwd(dh_ref, gx_ref, gh_ref, hprev_ref,
+                                      dh_carry, k, H)
+        # mask padded tail rows out of the accumulated gradients (the
+        # reverse-direction chain walks INTO the padding with a live
+        # carry; see the LSTM variant)
+        live = base + k < T
+        dgx = jnp.where(live, dgx, 0.0)
+        dgh = jnp.where(live, dgh, 0.0)
+        dx = jnp.dot(dgx, iwt_ref[:], preferred_element_type=jnp.float32)
+        dx_ref[k] = dx.astype(dx_ref.dtype)
+        dsw_ref[0] += jax.lax.dot_general(
+            dgh, hprev_ref[k].astype(jnp.float32), _BATCH_CONTRACT,
+            preferred_element_type=jnp.float32)
+        diw_ref[0] += jax.lax.dot_general(
+            dgx, x_ref[k].astype(jnp.float32), _BATCH_CONTRACT,
+            preferred_element_type=jnp.float32)
+        db_ref[:] += jnp.sum(dgx, axis=0, keepdims=True)
+        dh_carry[:] = (jnp.dot(dgh, sw_ref[:],
+                               preferred_element_type=jnp.float32) + dhz)
+        return 0
+
+    run_steps(body, block_t, unroll)
+
+
+def gru_bwd_fusedw(dh_out, gates_x, gh, h_prev, x, sW, iW,
+                   block_t=DEFAULT_BLOCK_T, interpret=False, reverse=False,
+                   dx_dtype=None, true_len=None, unroll=False):
+    """Fused GRU backward emitting (d_x, d_sW, d_iW, d_b) directly;
+    weight gradients as per-batch-tile partials (see lstm_bwd_fusedw).
+    Neither gate-gradient stream (dgx/dgh) ever reaches HBM."""
+    T, B, H = dh_out.shape
+    H3 = 3 * H
+    D = iW.shape[1]
+    assert T % block_t == 0
+    ngrid = T // block_t
+    bb = block_b_for(B)
+    nb = B // bb
+    imap, order = _time_maps(ngrid, block_t, descending=not reverse)
+    kernel = functools.partial(
+        _gru_bwd_fusedw_kernel, block_t=block_t, H=H,
+        T=(T if true_len is None else true_len), ngrid=ngrid,
+        descending=not reverse, order=order, unroll=unroll)
+    wmap3 = lambda ib, it: (ib, 0, 0)
+    dx, dsw, diw, db = pl.pallas_call(
+        kernel,
+        grid=(nb, ngrid),
+        in_specs=[
+            pl.BlockSpec((block_t, bb, H), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, H3), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, H3), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, H), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, D), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H3, H), _WMAP, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H3, D), _WMAP, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_t, bb, D), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H3, H), wmap3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H3, D), wmap3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H3), lambda ib, it: (ib, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, D), dx_dtype or jnp.float32),
+            jax.ShapeDtypeStruct((nb, H3, H), jnp.float32),
+            jax.ShapeDtypeStruct((nb, H3, D), jnp.float32),
+            jax.ShapeDtypeStruct((nb, H3), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((bb, H), jnp.float32)],
+        interpret=interpret,
+    )(dh_out, gates_x, gh, h_prev, x, sW, iW)
+    return dx, dsw, diw, db
+
+
 def _gru_bwd_kernel(dh_ref, gx_ref, gh_ref, hprev_ref, sw_ref,
                     dgx_ref, dgh_ref, dh_carry, *, block_t, H, order,
                     unroll=False):
@@ -605,28 +851,15 @@ def _gru_bwd_kernel(dh_ref, gx_ref, gh_ref, hprev_ref, sw_ref,
 
     def body(j, _):
         k = order(j)
-        gx = gx_ref[k]
-        gh = gh_ref[k].astype(jnp.float32)
-        h_prev = hprev_ref[k].astype(jnp.float32)
-        r = jax.nn.sigmoid(gx[:, :H] + gh[:, :H])
-        z = jax.nn.sigmoid(gx[:, H:2 * H] + gh[:, H:2 * H])
-        n = jnp.tanh(gx[:, 2 * H:] + r * gh[:, 2 * H:])
-        dh = dh_ref[k] + dh_carry[:]
-        dz = dh * (h_prev - n)
-        dn = dh * (1.0 - z)
-        dn_pre = dn * (1.0 - n * n)
-        dr = dn_pre * gh[:, 2 * H:]
-        dr_pre = dr * r * (1.0 - r)
-        dz_pre = dz * z * (1.0 - z)
-        dgh = jnp.concatenate([dr_pre, dz_pre, dn_pre * r], axis=1)
-        dgx = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
+        dgx, dgh, dhz = _gru_cell_bwd(dh_ref, gx_ref, gh_ref, hprev_ref,
+                                      dh_carry, k, H)
         # f32 recurrent dot regardless of grad-stream dtype — see the
         # matching note in _lstm_bwd_kernel
         dgx_ref[k] = dgx.astype(dgx_ref.dtype)
         dgh_ref[k] = dgh.astype(dgh_ref.dtype)
         dh_carry[:] = (jnp.dot(dgh, sw_ref[:],
                                preferred_element_type=jnp.float32)
-                       + dh * z)
+                       + dhz)
         return 0
 
     run_steps(body, block_t, unroll)

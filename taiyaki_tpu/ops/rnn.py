@@ -332,6 +332,24 @@ def _make_lstm_layer(reverse):
 
     def bwd(res, dh_out):
         x, h, c, pre, iW, sW = res
+        if _use_pallas(dh_out.shape[1]):
+            # fully-fused backward: weight gradients accumulate inside
+            # the kernel, so the gate-gradient stream never reaches HBM
+            # (the separate d_sW/d_iW einsums measured ~3.1 ms/layer at
+            # bs256 — ~30% of the whole train step across 5 layers)
+            from taiyaki_tpu.ops import pallas_rnn
+            T = x.shape[0]
+            bt = pallas_rnn.block_t_for(dh_out.shape[1])
+            gdt = _grad_stream_dtype()
+            c_prev = _prev_state(c, reverse)
+            d_x, dsw, diw, db = pallas_rnn.lstm_bwd_fusedw(
+                _pad_time(dh_out.astype(gdt or dh_out.dtype), bt),
+                _pad_time(pre, bt), _pad_time(c, bt),
+                _pad_time(c_prev, bt), _pad_time(h, bt),
+                _pad_time(x, bt), sW, iW, block_t=bt, reverse=reverse,
+                dx_dtype=x.dtype, true_len=T, unroll=True)
+            return (d_x[:T], jnp.sum(diw, 0).astype(iW.dtype),
+                    jnp.sum(db, 0), jnp.sum(dsw, 0).astype(sW.dtype))
         dpre, d_x = _lstm_dpre(h, c, pre, sW, dh_out, reverse,
                                iW=iW, dx_dtype=x.dtype)
         d_sW = jnp.einsum("tbg,tbh->gh", dpre, _prev_state(h, reverse),
@@ -536,17 +554,27 @@ def _make_gru_layer(reverse):
 
     def bwd(res, dh_out):
         if _use_pallas(dh_out.shape[1]):
+            # fully-fused backward — see the matching LSTM-layer note
             x, h, gx, gh, iW, sW = res
-            dgx, dgh, d_x = _gru_dgrads_pallas(h, gx, gh, sW, dh_out,
-                                               reverse, iW=iW,
-                                               dx_dtype=x.dtype)
-        else:
-            x, core_res, iW, sW = res
-            h = core_res[0]
-            dgx, dgh = _gru_dgrads_scan(core_res, dh_out, reverse)
-            d_x = jnp.einsum("tbg,gd->tbd", dgx, iW,
-                             preferred_element_type=jnp.float32
-                             ).astype(x.dtype)
+            from taiyaki_tpu.ops import pallas_rnn
+            T = x.shape[0]
+            bt = pallas_rnn.block_t_for(dh_out.shape[1])
+            gdt = _grad_stream_dtype()
+            h_prev = _prev_state(h, reverse)
+            d_x, dsw, diw, db = pallas_rnn.gru_bwd_fusedw(
+                _pad_time(dh_out.astype(gdt or dh_out.dtype), bt),
+                _pad_time(gx, bt), _pad_time(gh, bt),
+                _pad_time(h_prev, bt), _pad_time(x, bt), sW, iW,
+                block_t=bt, reverse=reverse, dx_dtype=x.dtype,
+                true_len=T, unroll=True)
+            return (d_x[:T], jnp.sum(diw, 0).astype(iW.dtype),
+                    jnp.sum(db, 0), jnp.sum(dsw, 0).astype(sW.dtype))
+        x, core_res, iW, sW = res
+        h = core_res[0]
+        dgx, dgh = _gru_dgrads_scan(core_res, dh_out, reverse)
+        d_x = jnp.einsum("tbg,gd->tbd", dgx, iW,
+                         preferred_element_type=jnp.float32
+                         ).astype(x.dtype)
         d_sW = jnp.einsum("tbg,tbh->gh", dgh, _prev_state(h, reverse),
                           preferred_element_type=jnp.float32)
         d_iW = jnp.einsum("tbg,tbd->gd", dgx, x,

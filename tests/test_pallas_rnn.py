@@ -386,3 +386,89 @@ def test_batch_tiled_grid_matches_scan():
                                            interpret=True, reverse=reverse)
         np.testing.assert_allclose(np.asarray(h4), np.asarray(h_ref4),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_lstm_bwd_fusedw_matches_vjp():
+    """The fused-weight-gradient backward must reproduce the lax.scan
+    VJP's (d_x, d_iW, d_b, d_sW) — both time directions, multi-tile
+    batch (B=24 -> 3 tiles of 8), and with zero time padding in play."""
+    for reverse in (False, True):
+        rng = np.random.default_rng(21)
+        T, B, H, D = 19, 24, 16, 12   # T=19 pads to 24 with block_t=8
+        x = jnp.asarray(rng.normal(size=(T, B, D)).astype(np.float32))
+        iW = jnp.asarray(rng.normal(size=(4 * H, D)).astype(np.float32) * .3)
+        b = jnp.asarray(rng.normal(size=(4 * H,)).astype(np.float32) * .3)
+        sW = jnp.asarray(rng.normal(size=(4 * H, H)).astype(np.float32) * .3)
+        dh = jnp.asarray(rng.normal(size=(T, B, H)).astype(np.float32))
+
+        def ref_fn(x, iW, b, sW):
+            return rnn._lstm_fwd_core(x @ iW.T + b, sW, reverse)[0]
+
+        h_ref, vjp = jax.vjp(ref_fn, x, iW, b, sW)
+        dx_ref, diw_ref, db_ref, dsw_ref = vjp(dh)
+
+        h, (_, c, pre, _) = rnn._lstm_fwd_core(x @ iW.T + b, sW, reverse)
+        c_prev = rnn._prev_state(c, reverse)
+
+        def pad(a):
+            return rnn._pad_time(a, 8)
+
+        dx, dsw, diw, db = pallas_rnn.lstm_bwd_fusedw(
+            pad(dh), pad(pre), pad(c), pad(c_prev), pad(h), pad(x),
+            sW, iW, block_t=8, reverse=reverse, true_len=T,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(dx[:T]), np.asarray(dx_ref),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dsw.sum(0)),
+                                   np.asarray(dsw_ref),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(diw.sum(0)),
+                                   np.asarray(diw_ref),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(db.sum(0)),
+                                   np.asarray(db_ref),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_gru_bwd_fusedw_matches_vjp():
+    """GRU fused-weight-gradient backward vs the lax.scan VJP — both
+    directions, multi-tile batch, time padding active."""
+    for reverse in (False, True):
+        rng = np.random.default_rng(33)
+        T, B, H, D = 19, 24, 16, 12
+        x = jnp.asarray(rng.normal(size=(T, B, D)).astype(np.float32))
+        iW = jnp.asarray(rng.normal(size=(3 * H, D)).astype(np.float32) * .3)
+        b = jnp.asarray(rng.normal(size=(3 * H,)).astype(np.float32) * .3)
+        sW = jnp.asarray(rng.normal(size=(3 * H, H)).astype(np.float32) * .3)
+        dh = jnp.asarray(rng.normal(size=(T, B, H)).astype(np.float32))
+
+        def ref_fn(x, iW, b, sW):
+            return rnn._gru_fwd_core(x @ iW.T + b, sW, reverse)[0]
+
+        _, vjp = jax.vjp(ref_fn, x, iW, b, sW)
+        dx_ref, diw_ref, db_ref, dsw_ref = vjp(dh)
+
+        gates_x = x @ iW.T + b
+        h, _ = rnn._gru_fwd_core(gates_x, sW, reverse)
+        # gh as the fused fwd would store it
+        gh = jnp.einsum("tbh,gh->tbg", rnn._prev_state(h, reverse), sW)
+        h_prev = rnn._prev_state(h, reverse)
+
+        def pad(a):
+            return rnn._pad_time(a, 8)
+
+        dx, dsw, diw, db = pallas_rnn.gru_bwd_fusedw(
+            pad(dh), pad(gates_x), pad(gh), pad(h_prev), pad(x),
+            sW, iW, block_t=8, reverse=reverse, true_len=T,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(dx[:T]), np.asarray(dx_ref),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dsw.sum(0)),
+                                   np.asarray(dsw_ref),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(diw.sum(0)),
+                                   np.asarray(diw_ref),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(db.sum(0)),
+                                   np.asarray(db_ref),
+                                   rtol=1e-4, atol=1e-4)
