@@ -95,19 +95,22 @@ def _gate_stream_dtype():
 
 def _act_stream_dtype():
     """Storage dtype for the inter-layer activation stream h on the fused
-    LAYER path (lstm_layer/gru_layer).  TAIYAKI_TPU_BF16_ACTS=1 stores h in
-    bfloat16 (halving its write + three re-reads: next layer's gate GEMM,
-    d_sW and d_iW einsums) — measured NEUTRAL on v5e (+1.6% at bs128,
-    -1.1% at bs256; the kernels are loop/VPU-bound, not h-stream-bound),
-    so the default stays f32 for exact forward numerics.  Converges to the
-    same loss either way (30-step trajectories match after step ~20).
-    TAIYAKI_TPU_F32_GATES (inference CLIs) forces f32 regardless.
+    LAYER path (lstm_layer/gru_layer).
+
+    Default bfloat16 since the fused-weight-gradient backward: h is now
+    written once and re-read TWICE (next layer's gate GEMM + the bwd
+    kernel's in-kernel d_sW pairing), and bf16 measured +5.2% at bs256
+    (6919 vs 6578 chunks/s) where it was neutral when only the forward
+    touched it.  Converges to the same loss (30-step trajectories match
+    after step ~20; r1 measurement).  TAIYAKI_TPU_BF16_ACTS=0 restores
+    f32; TAIYAKI_TPU_F32_GATES (inference CLIs) forces f32 regardless so
+    basecalls keep full precision.
     """
     if os.environ.get("TAIYAKI_TPU_F32_GATES") == "1":
         return None
-    if os.environ.get("TAIYAKI_TPU_BF16_ACTS") == "1":
-        return jnp.bfloat16
-    return None
+    if os.environ.get("TAIYAKI_TPU_BF16_ACTS") == "0":
+        return None
+    return jnp.bfloat16
 
 
 def _mm_precision():
