@@ -345,6 +345,170 @@ def lstm_bwd_fusedw(dh_out, pre, c, c_prev, h, x, sW, iW,
     return dx, dsw, diw, db
 
 
+def _lstm_bwd_recompute_kernel(dh_ref, c_ref, cprevblk_ref,
+                               h_ref, hprevblk_ref,
+                               x_ref, swt_ref, sw_ref, iwt_ref, iw_ref, b_ref,
+                               dx_ref, dsw_ref, diw_ref, db_ref,
+                               dh_carry, dc_carry, gx_scratch,
+                               *, block_t, H, T, ngrid, descending, order,
+                               precision, unroll=False):
+    """Fused-weights backward that RECOMPUTES pre instead of reading a
+    stored residual: pre[t] = (x@iW + b)[t] + h[t-1]@sW.
+
+    The gate GEMM is one per-block matmul (same shape as the fused
+    forward's) and h[t-1] comes from the h stream itself — in-block row
+    k-1, or the boundary row of the adjacent time block streamed via a
+    second BlockSpec on the same array.  This removes the [T, B, 4H]
+    pre residual from BOTH directions (the forward's largest write and
+    this kernel's largest read), and hands d_sW its h_prev operand
+    directly (no held-block pairing needed).
+
+    For natural layers h_prev at t == 0 is the zero initial state
+    (masked explicitly); for Reverse'd layers h_prev[t] = h[t+1], and
+    the zero-padded tail rows supply the zero boundary for free.
+    """
+    @pl.when(pl.program_id(_TIME_DIM) == 0)
+    def _():
+        dh_carry[:] = jnp.zeros_like(dh_carry)
+        dc_carry[:] = jnp.zeros_like(dc_carry)
+        dsw_ref[:] = jnp.zeros_like(dsw_ref)
+        diw_ref[:] = jnp.zeros_like(diw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    _fused_gates(x_ref, iwt_ref, b_ref, gx_scratch, block_t, precision)
+    base = _block_base(ngrid, block_t, descending)
+
+    def prev_at(ref, prevblk_ref, k):
+        """State ENTERING step t: row t-1 (natural) / t+1 (reverse) of
+        the stream, crossing into the adjacent time block at the block
+        boundary.  Natural t == 0 is the zero initial state (masked);
+        for reverse the zero-padded tail rows supply the boundary for
+        free (true_len masking below kills any padding gradient)."""
+        # k may be traced (rolled fori_loop): load the clamped in-block
+        # row and the boundary row, select with where
+        if descending:
+            inblock = ref[jnp.maximum(k - 1, 0)].astype(jnp.float32)
+            boundary = prevblk_ref[block_t - 1].astype(jnp.float32)
+            prev = jnp.where(k > 0, inblock, boundary)
+            return jnp.where(base + k == 0, 0.0, prev)
+        inblock = ref[jnp.minimum(k + 1, block_t - 1)].astype(jnp.float32)
+        boundary = prevblk_ref[0].astype(jnp.float32)
+        val = jnp.where(k + 1 < block_t, inblock, boundary)
+        # t == T-1 enters from the zero initial state; must be explicit
+        # (padding supplies zeros only when T doesn't divide block_t)
+        return jnp.where(base + k + 1 >= T, 0.0, val)
+
+    def body(j, _):
+        k = order(j)
+        h_prev = prev_at(h_ref, hprevblk_ref, k)
+        pre = gx_scratch[k] + jnp.dot(h_prev, swt_ref[:],
+                                      precision=precision,
+                                      preferred_element_type=jnp.float32)
+        i = jax.nn.sigmoid(pre[:, :H])
+        f = jax.nn.sigmoid(pre[:, H:2 * H])
+        g = jnp.tanh(pre[:, 2 * H:3 * H])
+        o = jax.nn.sigmoid(pre[:, 3 * H:])
+        tc = jnp.tanh(c_ref[k].astype(jnp.float32))
+        dh = dh_ref[k] + dh_carry[:]
+        do = dh * tc
+        dc = dh * o * (1.0 - tc * tc) + dc_carry[:]
+        di = dc * g
+        df = dc * prev_at(c_ref, cprevblk_ref, k)
+        dg = dc * i
+        dpre = jnp.concatenate(
+            [di * i * (1.0 - i), df * f * (1.0 - f),
+             dg * (1.0 - g * g), do * o * (1.0 - o)], axis=1)
+        dpre = jnp.where(base + k < T, dpre, 0.0)
+        dx = jnp.dot(dpre, iw_ref[:], preferred_element_type=jnp.float32)
+        dx_ref[k] = dx.astype(dx_ref.dtype)
+        dsw_ref[0] += jax.lax.dot_general(
+            dpre, h_prev, _BATCH_CONTRACT,
+            preferred_element_type=jnp.float32)
+        diw_ref[0] += jax.lax.dot_general(
+            dpre, x_ref[k].astype(jnp.float32), _BATCH_CONTRACT,
+            preferred_element_type=jnp.float32)
+        db_ref[:] += jnp.sum(dpre, axis=0, keepdims=True)
+        dh_carry[:] = jnp.dot(dpre, sw_ref[:],
+                              preferred_element_type=jnp.float32)
+        dc_carry[:] = dc * f
+        return 0
+
+    run_steps(body, block_t, unroll)
+
+
+def lstm_bwd_recompute(dh_out, c, h, x, sW, iW, b,
+                       block_t=DEFAULT_BLOCK_T, interpret=False,
+                       reverse=False, dx_dtype=None, true_len=None,
+                       precision=None, unroll=False):
+    """Fused LSTM backward with in-kernel pre recompute (no pre
+    residual, no materialized c_prev/h_prev shifts — c and h are each
+    streamed twice, the second time with a block-shifted index map).
+    Returns (d_x, d_sW/d_iW/d_b per-batch-tile partials) like
+    lstm_bwd_fusedw."""
+    T, B, H = dh_out.shape
+    H4 = 4 * H
+    D = iW.shape[1]
+    assert T % block_t == 0
+    ngrid = T // block_t
+    bb = block_b_for(B)
+    nb = B // bb
+    descending = not reverse
+    imap, order = _time_maps(ngrid, block_t, descending=descending)
+
+    def prevmap(ib, it):
+        # adjacent time block holding the boundary prev-state row
+        # (grid indices are traced: jnp clamps, not python max/min)
+        if descending:
+            return (jnp.maximum(ngrid - 1 - it - 1, 0), ib, 0)
+        return (jnp.minimum(it + 1, ngrid - 1), ib, 0)
+
+    kernel = functools.partial(
+        _lstm_bwd_recompute_kernel, block_t=block_t, H=H,
+        T=(T if true_len is None else true_len), ngrid=ngrid,
+        descending=descending, order=order, precision=precision,
+        unroll=unroll)
+    wmap3 = lambda ib, it: (ib, 0, 0)
+    return pl.pallas_call(
+        kernel,
+        grid=(nb, ngrid),
+        in_specs=[
+            pl.BlockSpec((block_t, bb, H), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, H), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, H), prevmap,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, H), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, H), prevmap,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, D), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), _WMAP, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H4, H), _WMAP, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, H4), _WMAP, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H4, D), _WMAP, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H4), _WMAP, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_t, bb, D), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H4, H), wmap3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H4, D), wmap3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H4), lambda ib, it: (ib, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, D), dx_dtype or jnp.float32),
+            jax.ShapeDtypeStruct((nb, H4, H), jnp.float32),
+            jax.ShapeDtypeStruct((nb, H4, D), jnp.float32),
+            jax.ShapeDtypeStruct((nb, H4), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bb, H), jnp.float32),
+            pltpu.VMEM((bb, H), jnp.float32),
+            pltpu.VMEM((block_t, bb, H4), jnp.float32),
+        ],
+        interpret=interpret,
+    )(dh_out, c, c, h, h, x, sW.T, sW, iW.T, iW,
+      jnp.asarray(b).reshape(1, H4))
+
+
 def _lstm_bwd_kernel(dh_ref, pre_ref, c_ref, cprev_ref, sw_ref, dpre_ref,
                      dh_carry, dc_carry, *, block_t, H, order,
                      unroll=False):
@@ -483,10 +647,14 @@ def _block_base(ngrid, block_t, descending):
 
 
 def _lstm_fused_fwd_kernel(x_ref, iwt_ref, b_ref, swt_ref,
-                           h_ref, c_ref, pre_ref,
-                           h_carry, c_carry, gx_scratch,
-                           *, block_t, H, T, ngrid, descending, order,
-                           precision, unroll=False):
+                           h_ref, c_ref, *maybe_pre_and_scratch,
+                           block_t, H, T, ngrid, descending, order,
+                           precision, emit_pre=True, unroll=False):
+    if emit_pre:
+        pre_ref, h_carry, c_carry, gx_scratch = maybe_pre_and_scratch
+    else:
+        h_carry, c_carry, gx_scratch = maybe_pre_and_scratch
+        pre_ref = None
     @pl.when(pl.program_id(_TIME_DIM) == 0)
     def _():
         h_carry[:] = jnp.zeros_like(h_carry)
@@ -510,7 +678,8 @@ def _lstm_fused_fwd_kernel(x_ref, iwt_ref, b_ref, swt_ref,
         h2 = o * jnp.tanh(c2)
         h_ref[k] = h2.astype(h_ref.dtype)
         c_ref[k] = c2.astype(c_ref.dtype)
-        pre_ref[k] = pre.astype(pre_ref.dtype)
+        if pre_ref is not None:
+            pre_ref[k] = pre.astype(pre_ref.dtype)
         h_carry[:] = h2
         c_carry[:] = c2
         return 0
@@ -520,7 +689,8 @@ def _lstm_fused_fwd_kernel(x_ref, iwt_ref, b_ref, swt_ref,
 
 def lstm_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
                    residual_dtype=None, reverse=False, true_len=None,
-                   h_dtype=None, precision=None, unroll=False):
+                   h_dtype=None, precision=None, emit_pre=True,
+                   unroll=False):
     """Fused gates+time LSTM forward.
 
     Args:
@@ -551,7 +721,19 @@ def lstm_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
         _lstm_fused_fwd_kernel, block_t=block_t, H=H,
         T=(Tp if true_len is None else true_len), ngrid=ngrid,
         descending=reverse, order=order, precision=precision,
-        unroll=unroll)
+        emit_pre=emit_pre, unroll=unroll)
+    out_specs = [
+        pl.BlockSpec((block_t, bb, H), imap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_t, bb, H), imap, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((Tp, B, H), h_dtype or jnp.float32),
+        jax.ShapeDtypeStruct((Tp, B, H), res_dt),
+    ]
+    if emit_pre:
+        out_specs.append(pl.BlockSpec((block_t, bb, H4), imap,
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((Tp, B, H4), res_dt))
     return pl.pallas_call(
         kernel,
         grid=(nb, ngrid),
@@ -564,16 +746,8 @@ def lstm_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
             pl.BlockSpec((H, H4), _WMAP,
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((block_t, bb, H), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, bb, H), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, bb, H4), imap, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Tp, B, H), h_dtype or jnp.float32),
-            jax.ShapeDtypeStruct((Tp, B, H), res_dt),
-            jax.ShapeDtypeStruct((Tp, B, H4), res_dt),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((bb, H), jnp.float32),
             pltpu.VMEM((bb, H), jnp.float32),

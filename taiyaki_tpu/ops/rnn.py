@@ -81,6 +81,14 @@ def _use_pallas(batch_size):
         return False
 
 
+def _recompute_pre():
+    """LSTM layer backward recomputes pre in-kernel instead of storing a
+    [T,B,4H] residual (the forward's largest write and the backward's
+    largest read).  TAIYAKI_TPU_NO_RECOMPUTE=1 restores the stored-pre
+    path (trace-time constant)."""
+    return os.environ.get("TAIYAKI_TPU_NO_RECOMPUTE") != "1"
+
+
 def _gate_stream_dtype():
     """Storage dtype for the input-gate stream gx fed to the forward
     kernels (and kept as the GRU backward residual).  bfloat16 halves the
@@ -310,12 +318,12 @@ def _make_lstm_layer(reverse):
             from taiyaki_tpu.ops import pallas_rnn
             T = x.shape[0]
             bt = pallas_rnn.block_t_for(x.shape[1])
-            h, _, _ = pallas_rnn.lstm_fused_fwd(
+            out = pallas_rnn.lstm_fused_fwd(
                 _pad_time(x, bt), iW, b, sW, block_t=bt,
                 residual_dtype=jnp.bfloat16, reverse=reverse, true_len=T,
                 h_dtype=_act_stream_dtype(), precision=_mm_precision(),
-                unroll=True)
-            return h[:T]
+                emit_pre=False, unroll=True)
+            return out[0][:T]
         h, _ = _lstm_fwd_core(x @ iW.T + b, sW, reverse)
         return h
 
@@ -324,17 +332,38 @@ def _make_lstm_layer(reverse):
             from taiyaki_tpu.ops import pallas_rnn
             T = x.shape[0]
             bt = pallas_rnn.block_t_for(x.shape[1])
+            if _recompute_pre():
+                h, c = pallas_rnn.lstm_fused_fwd(
+                    _pad_time(x, bt), iW, b, sW, block_t=bt,
+                    residual_dtype=jnp.bfloat16, reverse=reverse,
+                    true_len=T, h_dtype=_act_stream_dtype(),
+                    precision=_mm_precision(), emit_pre=False,
+                    unroll=True)
+                return h[:T], (x, h[:T], c[:T], None, iW, sW, b)
             h, c, pre = pallas_rnn.lstm_fused_fwd(
                 _pad_time(x, bt), iW, b, sW, block_t=bt,
                 residual_dtype=jnp.bfloat16, reverse=reverse,
                 true_len=T, h_dtype=_act_stream_dtype(),
                 precision=_mm_precision(), unroll=True)
-            return h[:T], (x, h[:T], c[:T], pre[:T], iW, sW)
+            return h[:T], (x, h[:T], c[:T], pre[:T], iW, sW, b)
         h, (h_, c, pre, _) = _lstm_fwd_core(x @ iW.T + b, sW, reverse)
-        return h, (x, h, c, pre, iW, sW)
+        return h, (x, h, c, pre, iW, sW, b)
 
     def bwd(res, dh_out):
-        x, h, c, pre, iW, sW = res
+        x, h, c, pre, iW, sW, b = res
+        if _use_pallas(dh_out.shape[1]) and _recompute_pre():
+            from taiyaki_tpu.ops import pallas_rnn
+            T = x.shape[0]
+            bt = pallas_rnn.block_t_for(dh_out.shape[1])
+            gdt = _grad_stream_dtype()
+            d_x, dsw, diw, db = pallas_rnn.lstm_bwd_recompute(
+                _pad_time(dh_out.astype(gdt or dh_out.dtype), bt),
+                _pad_time(c, bt), _pad_time(h, bt), _pad_time(x, bt),
+                sW, iW, b, block_t=bt, reverse=reverse,
+                dx_dtype=x.dtype, true_len=T,
+                precision=_mm_precision(), unroll=True)
+            return (d_x[:T], jnp.sum(diw, 0).astype(iW.dtype),
+                    jnp.sum(db, 0), jnp.sum(dsw, 0).astype(sW.dtype))
         if _use_pallas(dh_out.shape[1]):
             # fully-fused backward: weight gradients accumulate inside
             # the kernel, so the gate-gradient stream never reaches HBM

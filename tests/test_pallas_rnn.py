@@ -472,3 +472,43 @@ def test_gru_bwd_fusedw_matches_vjp():
         np.testing.assert_allclose(np.asarray(db.sum(0)),
                                    np.asarray(db_ref),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_lstm_bwd_recompute_matches_vjp():
+    """The pre-recomputing backward (no stored pre residual; c and h
+    streamed twice with block-shifted maps) must reproduce the lax.scan
+    VJP — both directions, multi-tile batch, time padding active."""
+    for reverse in (False, True):
+        rng = np.random.default_rng(55)
+        T, B, H, D = 19, 24, 16, 12
+        x = jnp.asarray(rng.normal(size=(T, B, D)).astype(np.float32))
+        iW = jnp.asarray(rng.normal(size=(4 * H, D)).astype(np.float32) * .3)
+        b = jnp.asarray(rng.normal(size=(4 * H,)).astype(np.float32) * .3)
+        sW = jnp.asarray(rng.normal(size=(4 * H, H)).astype(np.float32) * .3)
+        dh = jnp.asarray(rng.normal(size=(T, B, H)).astype(np.float32))
+
+        def ref_fn(x, iW, b, sW):
+            return rnn._lstm_fwd_core(x @ iW.T + b, sW, reverse)[0]
+
+        _, vjp = jax.vjp(ref_fn, x, iW, b, sW)
+        dx_ref, diw_ref, db_ref, dsw_ref = vjp(dh)
+
+        h, (_, c, pre, _) = rnn._lstm_fwd_core(x @ iW.T + b, sW, reverse)
+
+        def pad(a):
+            return rnn._pad_time(a, 8)
+
+        dx, dsw, diw, db = pallas_rnn.lstm_bwd_recompute(
+            pad(dh), pad(c), pad(h), pad(x), sW, iW, b,
+            block_t=8, reverse=reverse, true_len=T, interpret=True)
+        np.testing.assert_allclose(np.asarray(dx[:T]), np.asarray(dx_ref),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dsw.sum(0)),
+                                   np.asarray(dsw_ref),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(diw.sum(0)),
+                                   np.asarray(diw_ref),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(db.sum(0)),
+                                   np.asarray(db_ref),
+                                   rtol=1e-4, atol=1e-4)
