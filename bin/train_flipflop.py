@@ -93,6 +93,13 @@ def main(args):
         from jax.experimental import multihost_utils
         seed = int(multihost_utils.broadcast_one_to_all(
             np.asarray(seed, np.int64)))
+    seqlen_reducer = None
+    if args.multihost and args.seqlen_buckets and jax.process_count() > 1:
+        # Must run here on the main thread (it broadcasts the server's
+        # ephemeral port with a device collective); afterwards the
+        # prefetch thread reduces over plain sockets only.
+        from taiyaki_tpu.utils import hostsync
+        seqlen_reducer, _seqlen_server = hostsync.start()
     # Shared setup stream: every host computes identical params, mod
     # weights, filter parameters and validation holdout.  The stream is
     # re-seeded with a per-host offset just before training so hosts draw
@@ -344,8 +351,10 @@ def main(args):
         batches = []
         rejections_total = defaultdict(int)
         for sub in range(args.sub_batches):
-            reduce_fn = (_seqlen_sync('%d.%d' % (it_idx, sub))
-                         if (seqlen_gran and nproc > 1) else None)
+            reduce_fn = (_seqlen_sync(seqlen_reducer,
+                                      '%d.%d' % (it_idx, sub))
+                         if (seqlen_gran and seqlen_reducer is not None)
+                         else None)
             batch, rejections = train.sample_batch(
                 read_data, batch_chunk_len, local_batch_size, max_seqlen,
                 alphabet_info, filter_params, reverse=args.reverse,
@@ -476,43 +485,22 @@ def main(args):
         logs.main.write('\n* Training complete.\n')
 
 
-def _seqlen_sync(tag):
-    """Cross-host max of the sampled sequence length, via the JAX
-    coordination-service key-value store.
+def _seqlen_sync(reducer, tag):
+    """Cross-host max of the sampled sequence length, via the repo's own
+    TCP max-reduce channel (taiyaki_tpu/utils/hostsync.py).
 
     Deliberately NOT a device collective (multihost_utils.*): sampling
     runs on the prefetch thread, and interleaving its collectives with
     the main thread's train-step psums in different orders on different
-    hosts deadlocks the ICI/DCN launch streams.  The KV store is plain
-    host RPC through the coordinator, safe from any thread.
+    hosts deadlocks the ICI/DCN launch streams.  Plain host sockets are
+    safe from any thread (and, unlike earlier revisions, public-API
+    only — the JAX coordination-service KV store lives in jax._src).
 
     `tag` must be unique per reduction and issued in the same order on
-    every host (iteration.sub_batch).  Keys from two iterations back
-    are deleted — the lock-step train loop guarantees they were
-    consumed.  Reference equivalent: per-iteration true-max lattice
-    sizing, ctc.pyx:126-134.
+    every host (iteration.sub_batch).  Reference equivalent:
+    per-iteration true-max lattice sizing, ctc.pyx:126-134.
     """
-    import jax  # deferred like main()'s (env vars set pre-import)
-    from jax._src import distributed
-    client = distributed.global_state.client
-    me = jax.process_index()
-    n = jax.process_count()
-
-    def reduce_fn(local_max):
-        client.key_value_set('seqlen/{}/{}'.format(tag, me),
-                             str(int(local_max)))
-        out = max(int(client.blocking_key_value_get(
-            'seqlen/{}/{}'.format(tag, i), 60000)) for i in range(n))
-        it, sub = tag.split('.')
-        if int(it) >= 2:
-            old = 'seqlen/{}.{}/{}'.format(int(it) - 2, sub, me)
-            try:
-                client.key_value_delete(old)
-            except Exception:
-                pass
-        return out
-
-    return reduce_fn
+    return lambda local_max: reducer.reduce(tag, local_max)
 
 
 def _pad_batch(batch, target):
