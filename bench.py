@@ -77,14 +77,24 @@ def main_basecall():
     bin/basecall.py)."""
     import jax
     import jax.numpy as jnp
-    from taiyaki_tpu.models import mLstm_flipflop
     from taiyaki_tpu.ops import decode as dec
 
-    chunk_len = 4000
+    rna = os.environ.get("BENCH_SHAPE", "dna").lower() == "rna"
+    chunk_len = int(os.environ.get("BENCH_CHUNK", "16000" if rna
+                                   else "4000"))
+    stride = int(os.environ.get("BENCH_STRIDE", "10" if rna else "5"))
+    winlen = int(os.environ.get("BENCH_WINLEN", "31" if rna else "19"))
     batch_size = int(os.environ.get("BENCH_BATCH", "128"))
     size = int(os.environ.get("BENCH_SIZE", "256"))
+    model = os.environ.get("BENCH_MODEL", "mLstm")
+    if model == "mGru":
+        from taiyaki_tpu.models import mGru_flipflop as model_mod
+        if "BENCH_STRIDE" not in os.environ and not rna:
+            stride = 2
+    else:
+        from taiyaki_tpu.models import mLstm_flipflop as model_mod
     rng = np.random.default_rng(0)
-    net = mLstm_flipflop.network(size=size, stride=5, winlen=19)
+    net = model_mod.network(size=size, stride=stride, winlen=winlen)
     params = jax.device_put(net.init(rng))
     x = jnp.asarray(rng.normal(
         size=(chunk_len, batch_size, 1)).astype(np.float32))
@@ -109,8 +119,9 @@ def main_basecall():
     print(json.dumps({
         "metric": "basecall_ksample_per_sec",
         "value": round(best / 1e3, 1),
-        "unit": "ksample/s (mLstm{} s5 chunk4000 bs{}, fwd+make_trans+"
-                "viterbi)".format(size, batch_size),
+        "unit": "ksample/s ({}{} s{} chunk{} bs{}, fwd+make_trans+"
+                "viterbi)".format(model, size, stride, chunk_len,
+                                  batch_size),
         "vs_baseline": None,
     }))
 
@@ -119,10 +130,18 @@ def main():
     import jax
     import jax.numpy as jnp
     from taiyaki_tpu import train
-    from taiyaki_tpu.models import mLstm_flipflop
 
-    chunk_len = 4000
-    stride = 5
+    # Production shapes (reference README "Standard model parameters"):
+    #   DNA high-accuracy: chunk 3000-8000, size 256, stride 5, winlen 19
+    #   RNA high-accuracy: chunk 10000-20000, size 256, stride 10, winlen 31
+    # Defaults bench the DNA shape at chunk 4000; BENCH_SHAPE=rna
+    # switches every geometry default to the RNA production config
+    # (chunk 16000 -> T=1600 blocks, 2x the DNA sequential chain).
+    rna = os.environ.get("BENCH_SHAPE", "dna").lower() == "rna"
+    chunk_len = int(os.environ.get("BENCH_CHUNK", "16000" if rna
+                                   else "4000"))
+    stride = int(os.environ.get("BENCH_STRIDE", "10" if rna else "5"))
+    winlen = int(os.environ.get("BENCH_WINLEN", "31" if rna else "19"))
     # bs256 measured best on the fused kernels (4832 vs 4696 at bs128 vs
     # 4014 at bs64; bs512 exceeds the GRU-bwd kernel's VMEM even at
     # block_t=1).  Override with BENCH_BATCH for scaling probes.
@@ -130,10 +149,19 @@ def main():
     # 256 is the Guppy production width; BENCH_SIZE=384 probes the
     # reference trainer's default width (bin/_bin_argparse.py size=384)
     size = int(os.environ.get("BENCH_SIZE", "256"))
+    # BENCH_MODEL=mGru benches the reference's default remap
+    # architecture (alternating-direction GRU stack, stride 2)
+    model = os.environ.get("BENCH_MODEL", "mLstm")
+    if model == "mGru":
+        from taiyaki_tpu.models import mGru_flipflop as model_mod
+        if "BENCH_STRIDE" not in os.environ and not rna:
+            stride = 2      # mGru's reference default
+    else:
+        from taiyaki_tpu.models import mLstm_flipflop as model_mod
     max_seqlen = train.max_seqlen_for_chunk(chunk_len, stride, 1.1)
 
     rng = np.random.default_rng(0)
-    net = mLstm_flipflop.network(size=size, stride=stride, winlen=19)
+    net = model_mod.network(size=size, stride=stride, winlen=winlen)
     params = net.init(rng)
     opt, _ = train.make_optimizer(
         lr_max=4e-3, niteration=1000, warmup_batches=10, lr_warmup=1e-4,
@@ -197,8 +225,8 @@ def main():
     print(json.dumps({
         "metric": "train_chunks_per_sec",
         "value": round(chunks_per_sec, 3),
-        "unit": "chunks/s (mLstm{} s5 chunk4000 bs{}, full train "
-                "step)".format(size, batch_size),
+        "unit": "chunks/s ({}{} s{} chunk{} bs{}, full train "
+                "step)".format(model, size, stride, chunk_len, batch_size),
         "vs_baseline": vs_baseline,
     }))
 

@@ -165,6 +165,12 @@ def get_train_flipflop_parser():
         '--multihost', default=False, action=AutoBool,
         help='Initialise jax.distributed for multi-host training '
              '(coordinator discovered from the TPU environment).')
+    cmp_grp.add_argument(
+        '--remat', default=False, action=AutoBool,
+        help='Rematerialize layer activations in the backward pass '
+             '(jax.checkpoint per layer): slower steps, much lower peak '
+             'memory — unlocks batch/chunk sizes past the single-chip '
+             'HBM wall.')
 
     out_grp = parser.add_argument_group('Output Arguments')
     out_grp.add_argument(

@@ -45,6 +45,10 @@ LOGS = namedtuple('LOGS', ('main', 'batch', 'validation'))
 
 
 def main(args):
+    if args.remat:
+        # Trace-time flag read by layers.Serial.apply: wrap each layer
+        # in jax.checkpoint (set before any jit trace happens).
+        os.environ['TAIYAKI_TPU_REMAT'] = '1'
     # Heavy imports after argparse so --help is fast.
     import jax
     import jax.numpy as jnp

@@ -27,6 +27,7 @@ accidentally omits 'W' from params when has_bias=False (operator-precedence
 bug in e.g. taiyaki/layers.py:322-326); we always export W.
 """
 
+import os
 from collections import OrderedDict
 from functools import partial
 
@@ -338,8 +339,18 @@ class Serial(Layer):
         return {"sublayers": [l.init(rng) for l in self.sublayers]}
 
     def apply(self, params, x):
+        # TAIYAKI_TPU_REMAT=1 (trainer --remat) wraps every sublayer in
+        # jax.checkpoint: activations/residuals between layers are not
+        # saved for the backward pass — each layer's forward re-runs
+        # during backprop instead.  Trades ~1 extra forward of compute
+        # for dropping the per-layer residual streams from peak HBM,
+        # unlocking batch/chunk sizes past the documented capacity wall
+        # (docs/performance.md: bs1024 @ chunk 4000 needs ~18GB vs
+        # 15.75GB available).  Trace-time constant.
+        remat = os.environ.get("TAIYAKI_TPU_REMAT") == "1"
         for layer, p in zip(self.sublayers, params["sublayers"]):
-            x = layer.apply(p, x)
+            f = jax.checkpoint(layer.apply) if remat else layer.apply
+            x = f(p, x)
         return x
 
     def json(self, params):

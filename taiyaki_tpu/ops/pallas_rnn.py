@@ -276,7 +276,7 @@ def _lstm_bwd_fusedw_kernel(dh_ref, pre_ref, c_ref, cprev_ref, h_ref, x_ref,
         diw_ref[0] += jax.lax.dot_general(
             dpre, x_ref[k].astype(jnp.float32), _BATCH_CONTRACT,
             preferred_element_type=jnp.float32)
-        db_ref[:] += jnp.sum(dpre, axis=0, keepdims=True)
+        db_ref[0] += jnp.sum(dpre, axis=0, keepdims=True)
         g_hold[:] = dpre
         dh_carry[:] = jnp.dot(dpre, sw_ref[:],
                               preferred_element_type=jnp.float32)
@@ -326,14 +326,14 @@ def lstm_bwd_fusedw(dh_out, pre, c, c_prev, h, x, sW, iW,
             pl.BlockSpec((block_t, bb, D), imap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H4, H), wmap3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H4, D), wmap3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H4), lambda ib, it: (ib, 0),
+            pl.BlockSpec((1, 1, H4), lambda ib, it: (ib, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, D), dx_dtype or jnp.float32),
             jax.ShapeDtypeStruct((nb, H4, H), jnp.float32),
             jax.ShapeDtypeStruct((nb, H4, D), jnp.float32),
-            jax.ShapeDtypeStruct((nb, H4), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, H4), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bb, H), jnp.float32),
@@ -342,7 +342,36 @@ def lstm_bwd_fusedw(dh_out, pre, c, c_prev, h, x, sW, iW,
         ],
         interpret=interpret,
     )(dh_out, pre, c, c_prev, h, x, sW, iW)
-    return dx, dsw, diw, db
+    return dx, dsw, diw, db[:, 0]
+
+
+def _prev_at(ref, prevblk_ref, k, base, block_t, T, descending):
+    """State ENTERING step t: row t-1 (natural) / t+1 (reverse) of the
+    stream, crossing into the adjacent time block at the block boundary.
+
+    Natural t == 0 enters from the zero initial state (masked); for
+    reverse layers t == T-1 does (also masked — padding supplies zeros
+    only when T doesn't divide block_t).  `k` may be traced (rolled
+    fori_loop): load the clamped in-block row and the boundary row,
+    select with where."""
+    if descending:
+        inblock = ref[jnp.maximum(k - 1, 0)].astype(jnp.float32)
+        boundary = prevblk_ref[block_t - 1].astype(jnp.float32)
+        prev = jnp.where(k > 0, inblock, boundary)
+        return jnp.where(base + k == 0, 0.0, prev)
+    inblock = ref[jnp.minimum(k + 1, block_t - 1)].astype(jnp.float32)
+    boundary = prevblk_ref[0].astype(jnp.float32)
+    val = jnp.where(k + 1 < block_t, inblock, boundary)
+    return jnp.where(base + k + 1 >= T, 0.0, val)
+
+
+def _prevblk_map(ngrid, descending):
+    """Index map for the second (block-shifted) stream of a state array:
+    the adjacent time block holding the boundary prev-state row.  Grid
+    indices are traced: jnp clamps, not python max/min."""
+    if descending:
+        return lambda ib, it: (jnp.maximum(ngrid - 1 - it - 1, 0), ib, 0)
+    return lambda ib, it: (jnp.minimum(it + 1, ngrid - 1), ib, 0)
 
 
 def _lstm_bwd_recompute_kernel(dh_ref, c_ref, cprevblk_ref,
@@ -379,24 +408,7 @@ def _lstm_bwd_recompute_kernel(dh_ref, c_ref, cprevblk_ref,
     base = _block_base(ngrid, block_t, descending)
 
     def prev_at(ref, prevblk_ref, k):
-        """State ENTERING step t: row t-1 (natural) / t+1 (reverse) of
-        the stream, crossing into the adjacent time block at the block
-        boundary.  Natural t == 0 is the zero initial state (masked);
-        for reverse the zero-padded tail rows supply the boundary for
-        free (true_len masking below kills any padding gradient)."""
-        # k may be traced (rolled fori_loop): load the clamped in-block
-        # row and the boundary row, select with where
-        if descending:
-            inblock = ref[jnp.maximum(k - 1, 0)].astype(jnp.float32)
-            boundary = prevblk_ref[block_t - 1].astype(jnp.float32)
-            prev = jnp.where(k > 0, inblock, boundary)
-            return jnp.where(base + k == 0, 0.0, prev)
-        inblock = ref[jnp.minimum(k + 1, block_t - 1)].astype(jnp.float32)
-        boundary = prevblk_ref[0].astype(jnp.float32)
-        val = jnp.where(k + 1 < block_t, inblock, boundary)
-        # t == T-1 enters from the zero initial state; must be explicit
-        # (padding supplies zeros only when T doesn't divide block_t)
-        return jnp.where(base + k + 1 >= T, 0.0, val)
+        return _prev_at(ref, prevblk_ref, k, base, block_t, T, descending)
 
     def body(j, _):
         k = order(j)
@@ -427,7 +439,7 @@ def _lstm_bwd_recompute_kernel(dh_ref, c_ref, cprevblk_ref,
         diw_ref[0] += jax.lax.dot_general(
             dpre, x_ref[k].astype(jnp.float32), _BATCH_CONTRACT,
             preferred_element_type=jnp.float32)
-        db_ref[:] += jnp.sum(dpre, axis=0, keepdims=True)
+        db_ref[0] += jnp.sum(dpre, axis=0, keepdims=True)
         dh_carry[:] = jnp.dot(dpre, sw_ref[:],
                               preferred_element_type=jnp.float32)
         dc_carry[:] = dc * f
@@ -454,21 +466,14 @@ def lstm_bwd_recompute(dh_out, c, h, x, sW, iW, b,
     nb = B // bb
     descending = not reverse
     imap, order = _time_maps(ngrid, block_t, descending=descending)
-
-    def prevmap(ib, it):
-        # adjacent time block holding the boundary prev-state row
-        # (grid indices are traced: jnp clamps, not python max/min)
-        if descending:
-            return (jnp.maximum(ngrid - 1 - it - 1, 0), ib, 0)
-        return (jnp.minimum(it + 1, ngrid - 1), ib, 0)
-
+    prevmap = _prevblk_map(ngrid, descending)
     kernel = functools.partial(
         _lstm_bwd_recompute_kernel, block_t=block_t, H=H,
         T=(T if true_len is None else true_len), ngrid=ngrid,
         descending=descending, order=order, precision=precision,
         unroll=unroll)
     wmap3 = lambda ib, it: (ib, 0, 0)
-    return pl.pallas_call(
+    dx, dsw, diw, db = pl.pallas_call(
         kernel,
         grid=(nb, ngrid),
         in_specs=[
@@ -490,14 +495,14 @@ def lstm_bwd_recompute(dh_out, c, h, x, sW, iW, b,
             pl.BlockSpec((block_t, bb, D), imap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H4, H), wmap3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H4, D), wmap3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H4), lambda ib, it: (ib, 0),
+            pl.BlockSpec((1, 1, H4), lambda ib, it: (ib, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, D), dx_dtype or jnp.float32),
             jax.ShapeDtypeStruct((nb, H4, H), jnp.float32),
             jax.ShapeDtypeStruct((nb, H4, D), jnp.float32),
-            jax.ShapeDtypeStruct((nb, H4), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, H4), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bb, H), jnp.float32),
@@ -507,6 +512,7 @@ def lstm_bwd_recompute(dh_out, c, h, x, sW, iW, b,
         interpret=interpret,
     )(dh_out, c, c, h, h, x, sW.T, sW, iW.T, iW,
       jnp.asarray(b).reshape(1, H4))
+    return dx, dsw, diw, db[:, 0]
 
 
 def _lstm_bwd_kernel(dh_ref, pre_ref, c_ref, cprev_ref, sw_ref, dpre_ref,
@@ -758,9 +764,14 @@ def lstm_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
 
 
 def _gru_fused_fwd_kernel(x_ref, iwt_ref, b_ref, swt_ref,
-                          h_ref, gh_ref, gx_ref, h_carry, gx_scratch,
-                          *, block_t, H, T, ngrid, descending, order,
-                          precision, unroll=False):
+                          h_ref, *maybe_res_and_scratch,
+                          block_t, H, T, ngrid, descending, order,
+                          precision, emit_residuals=True, unroll=False):
+    if emit_residuals:
+        gh_ref, gx_ref, h_carry, gx_scratch = maybe_res_and_scratch
+    else:
+        h_carry, gx_scratch = maybe_res_and_scratch
+        gh_ref = gx_ref = None
     @pl.when(pl.program_id(_TIME_DIM) == 0)
     def _():
         h_carry[:] = jnp.zeros_like(h_carry)
@@ -779,8 +790,9 @@ def _gru_fused_fwd_kernel(x_ref, iwt_ref, b_ref, swt_ref,
         n = jnp.tanh(gx[:, 2 * H:] + r * gh[:, 2 * H:])
         h2 = (1.0 - z) * n + z * h
         h_ref[k] = h2.astype(h_ref.dtype)
-        gh_ref[k] = gh.astype(gh_ref.dtype)
-        gx_ref[k] = gx.astype(gx_ref.dtype)
+        if gh_ref is not None:
+            gh_ref[k] = gh.astype(gh_ref.dtype)
+            gx_ref[k] = gx.astype(gx_ref.dtype)
         h_carry[:] = h2
         return 0
 
@@ -789,11 +801,14 @@ def _gru_fused_fwd_kernel(x_ref, iwt_ref, b_ref, swt_ref,
 
 def gru_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
                   residual_dtype=None, reverse=False, true_len=None,
-                  h_dtype=None, precision=None, unroll=False):
+                  h_dtype=None, precision=None, emit_residuals=True,
+                  unroll=False):
     """Fused gates+time GRU forward -> (h [T,B,H] f32, gh, gx in
-    residual_dtype).  The gate stream gx is emitted because the GRU
-    backward re-reads it (unlike the LSTM, whose pre already folds it
-    in).  See lstm_fused_fwd for conventions (incl. precision)."""
+    residual_dtype).  The gate streams are emitted for the
+    residual-reading backward (gru_bwd_fusedw); with
+    emit_residuals=False only h is returned — for inference and for the
+    recompute backward (gru_bwd_recompute), which rebuilds both streams
+    in-kernel.  See lstm_fused_fwd for conventions (incl. precision)."""
     Tp, B, D = x.shape
     H3 = sW.shape[0]
     H = H3 // 3
@@ -807,7 +822,22 @@ def gru_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
         _gru_fused_fwd_kernel, block_t=block_t, H=H,
         T=(Tp if true_len is None else true_len), ngrid=ngrid,
         descending=reverse, order=order, precision=precision,
-        unroll=unroll)
+        emit_residuals=emit_residuals, unroll=unroll)
+    out_specs = [
+        pl.BlockSpec((block_t, bb, H), imap, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((Tp, B, H), h_dtype or jnp.float32),
+    ]
+    if emit_residuals:
+        out_specs += [
+            pl.BlockSpec((block_t, bb, H3), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, H3), imap, memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((Tp, B, H3), res_dt),
+            jax.ShapeDtypeStruct((Tp, B, H3), res_dt),
+        ]
     return pl.pallas_call(
         kernel,
         grid=(nb, ngrid),
@@ -820,16 +850,8 @@ def gru_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
             pl.BlockSpec((H, H3), _WMAP,
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((block_t, bb, H), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, bb, H3), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, bb, H3), imap, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Tp, B, H), h_dtype or jnp.float32),
-            jax.ShapeDtypeStruct((Tp, B, H3), res_dt),
-            jax.ShapeDtypeStruct((Tp, B, H3), res_dt),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((bb, H), jnp.float32),
             pltpu.VMEM((block_t, bb, H3), jnp.float32),
@@ -958,7 +980,7 @@ def _gru_bwd_fusedw_kernel(dh_ref, gx_ref, gh_ref, hprev_ref, x_ref,
         diw_ref[0] += jax.lax.dot_general(
             dgx, x_ref[k].astype(jnp.float32), _BATCH_CONTRACT,
             preferred_element_type=jnp.float32)
-        db_ref[:] += jnp.sum(dgx, axis=0, keepdims=True)
+        db_ref[0] += jnp.sum(dgx, axis=0, keepdims=True)
         dh_carry[:] = (jnp.dot(dgh, sw_ref[:],
                                preferred_element_type=jnp.float32) + dhz)
         return 0
@@ -1001,19 +1023,149 @@ def gru_bwd_fusedw(dh_out, gates_x, gh, h_prev, x, sW, iW,
             pl.BlockSpec((block_t, bb, D), imap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H3, H), wmap3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H3, D), wmap3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H3), lambda ib, it: (ib, 0),
+            pl.BlockSpec((1, 1, H3), lambda ib, it: (ib, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, D), dx_dtype or jnp.float32),
             jax.ShapeDtypeStruct((nb, H3, H), jnp.float32),
             jax.ShapeDtypeStruct((nb, H3, D), jnp.float32),
-            jax.ShapeDtypeStruct((nb, H3), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, H3), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((bb, H), jnp.float32)],
         interpret=interpret,
     )(dh_out, gates_x, gh, h_prev, x, sW, iW)
-    return dx, dsw, diw, db
+    return dx, dsw, diw, db[:, 0]
+
+
+def _gru_bwd_recompute_kernel(dh_ref, h_ref, hprevblk_ref, x_ref,
+                              swt_ref, sw_ref, iwt_ref, iw_ref, b_ref,
+                              dx_ref, dsw_ref, diw_ref, db_ref,
+                              dh_carry, gx_scratch,
+                              *, block_t, H, T, ngrid, descending, order,
+                              precision, unroll=False):
+    """Fused-weights GRU backward that RECOMPUTES both gate streams
+    instead of reading stored residuals: gx[t] = (x@iW + b)[t] as one
+    per-block GEMM, gh[t] = h[t-1]@sW from the h stream itself (in-block
+    row, or the adjacent time block's boundary row via a second
+    BlockSpec on the same array — exactly the LSTM recompute's trick).
+
+    This removes BOTH [T, B, 3H] residuals from the forward (which now
+    emits only h) and from this kernel's reads, and replaces the stored
+    h_prev stream with the shifted view — the GRU layer's HBM traffic
+    drops from 7H/step written + 8H+D/step read to H/step written +
+    2H+D/step read."""
+    @pl.when(pl.program_id(_TIME_DIM) == 0)
+    def _():
+        dh_carry[:] = jnp.zeros_like(dh_carry)
+        dsw_ref[:] = jnp.zeros_like(dsw_ref)
+        diw_ref[:] = jnp.zeros_like(diw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    _fused_gates(x_ref, iwt_ref, b_ref, gx_scratch, block_t, precision)
+    base = _block_base(ngrid, block_t, descending)
+
+    def body(j, _):
+        k = order(j)
+        h_prev = _prev_at(h_ref, hprevblk_ref, k, base, block_t, T,
+                          descending)
+        gx = gx_scratch[k]
+        gh = jnp.dot(h_prev, swt_ref[:], precision=precision,
+                     preferred_element_type=jnp.float32)
+        r = jax.nn.sigmoid(gx[:, :H] + gh[:, :H])
+        z = jax.nn.sigmoid(gx[:, H:2 * H] + gh[:, H:2 * H])
+        n = jnp.tanh(gx[:, 2 * H:] + r * gh[:, 2 * H:])
+        dh = dh_ref[k] + dh_carry[:]
+        dz = dh * (h_prev - n)
+        dn_pre = dh * (1.0 - z) * (1.0 - n * n)
+        dr = dn_pre * gh[:, 2 * H:]
+        dr_pre = dr * r * (1.0 - r)
+        dz_pre = dz * z * (1.0 - z)
+        dgh = jnp.concatenate([dr_pre, dz_pre, dn_pre * r], axis=1)
+        dgx = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
+        # mask padded tail rows out of the accumulated gradients (the
+        # reverse-direction chain walks INTO the padding with a live
+        # carry)
+        live = base + k < T
+        dgx = jnp.where(live, dgx, 0.0)
+        dgh = jnp.where(live, dgh, 0.0)
+        dx = jnp.dot(dgx, iw_ref[:], preferred_element_type=jnp.float32)
+        dx_ref[k] = dx.astype(dx_ref.dtype)
+        dsw_ref[0] += jax.lax.dot_general(
+            dgh, h_prev, _BATCH_CONTRACT,
+            preferred_element_type=jnp.float32)
+        diw_ref[0] += jax.lax.dot_general(
+            dgx, x_ref[k].astype(jnp.float32), _BATCH_CONTRACT,
+            preferred_element_type=jnp.float32)
+        db_ref[0] += jnp.sum(dgx, axis=0, keepdims=True)
+        dh_carry[:] = (jnp.dot(dgh, sw_ref[:],
+                               preferred_element_type=jnp.float32)
+                       + dh * z)
+        return 0
+
+    run_steps(body, block_t, unroll)
+
+
+def gru_bwd_recompute(dh_out, h, x, sW, iW, b,
+                      block_t=DEFAULT_BLOCK_T, interpret=False,
+                      reverse=False, dx_dtype=None, true_len=None,
+                      precision=None, unroll=False):
+    """Fused GRU backward with in-kernel gate recompute (no gx/gh
+    residuals, no materialized h_prev shift — h is streamed twice, the
+    second time with a block-shifted index map).  Returns (d_x,
+    d_sW/d_iW/d_b per-batch-tile partials) like gru_bwd_fusedw."""
+    T, B, H = dh_out.shape
+    H3 = 3 * H
+    D = iW.shape[1]
+    assert T % block_t == 0
+    ngrid = T // block_t
+    bb = block_b_for(B)
+    nb = B // bb
+    descending = not reverse
+    imap, order = _time_maps(ngrid, block_t, descending=descending)
+    prevmap = _prevblk_map(ngrid, descending)
+    kernel = functools.partial(
+        _gru_bwd_recompute_kernel, block_t=block_t, H=H,
+        T=(T if true_len is None else true_len), ngrid=ngrid,
+        descending=descending, order=order, precision=precision,
+        unroll=unroll)
+    wmap3 = lambda ib, it: (ib, 0, 0)
+    dx, dsw, diw, db = pl.pallas_call(
+        kernel,
+        grid=(nb, ngrid),
+        in_specs=[
+            pl.BlockSpec((block_t, bb, H), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, H), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, H), prevmap,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, D), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H3), _WMAP, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H3, H), _WMAP, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, H3), _WMAP, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H3, D), _WMAP, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H3), _WMAP, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_t, bb, D), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H3, H), wmap3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H3, D), wmap3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H3), lambda ib, it: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, D), dx_dtype or jnp.float32),
+            jax.ShapeDtypeStruct((nb, H3, H), jnp.float32),
+            jax.ShapeDtypeStruct((nb, H3, D), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, H3), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bb, H), jnp.float32),
+            pltpu.VMEM((block_t, bb, H3), jnp.float32),
+        ],
+        interpret=interpret,
+    )(dh_out, h, h, x, sW.T, sW, iW.T, iW,
+      jnp.asarray(b).reshape(1, H3))
+    return dx, dsw, diw, db[:, 0]
 
 
 def _gru_bwd_kernel(dh_ref, gx_ref, gh_ref, hprev_ref, sw_ref,

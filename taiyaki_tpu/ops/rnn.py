@@ -81,12 +81,30 @@ def _use_pallas(batch_size):
         return False
 
 
-def _recompute_pre():
-    """LSTM layer backward recomputes pre in-kernel instead of storing a
-    [T,B,4H] residual (the forward's largest write and the backward's
-    largest read).  TAIYAKI_TPU_NO_RECOMPUTE=1 restores the stored-pre
-    path (trace-time constant)."""
-    return os.environ.get("TAIYAKI_TPU_NO_RECOMPUTE") != "1"
+def _recompute_pre(cell):
+    """Whether `cell`'s layer backward recomputes its gate streams
+    in-kernel instead of reading stored residuals.
+
+    The trade differs per cell, so the defaults were measured separately
+    on a v5e chip (misc/ab_train_variants.py, bs256 production shape):
+
+    * LSTM: recompute is ~10% SLOWER (6307 vs 6927 chunks/s) — it drops
+      only the pre residual ([T,B,4H]) while adding a second sequential
+      matmul (h_prev·sW) to every backward step, and the backward chain
+      is latency-bound.  Default: stored-pre (this was the round-2
+      regression behind BENCH_r02's 6316 vs the claimed 6919).
+    * GRU: recompute is ~4% FASTER (3254 vs 3135 chunks/s) — it drops
+      TWO residuals (gx+gh, 2x[T,B,3H]) plus the materialized h_prev
+      stream, against the same one extra matmul.  Default: recompute.
+
+    TAIYAKI_TPU_NO_RECOMPUTE=1 forces stored residuals for both cells;
+    TAIYAKI_TPU_RECOMPUTE=1 forces recompute for both (trace-time
+    constants)."""
+    if os.environ.get("TAIYAKI_TPU_NO_RECOMPUTE") == "1":
+        return False
+    if os.environ.get("TAIYAKI_TPU_RECOMPUTE") == "1":
+        return True
+    return cell == "gru"
 
 
 def _gate_stream_dtype():
@@ -332,7 +350,7 @@ def _make_lstm_layer(reverse):
             from taiyaki_tpu.ops import pallas_rnn
             T = x.shape[0]
             bt = pallas_rnn.block_t_for(x.shape[1])
-            if _recompute_pre():
+            if _recompute_pre("lstm"):
                 h, c = pallas_rnn.lstm_fused_fwd(
                     _pad_time(x, bt), iW, b, sW, block_t=bt,
                     residual_dtype=jnp.bfloat16, reverse=reverse,
@@ -351,7 +369,7 @@ def _make_lstm_layer(reverse):
 
     def bwd(res, dh_out):
         x, h, c, pre, iW, sW, b = res
-        if _use_pallas(dh_out.shape[1]) and _recompute_pre():
+        if _use_pallas(dh_out.shape[1]) and _recompute_pre("lstm"):
             from taiyaki_tpu.ops import pallas_rnn
             T = x.shape[0]
             bt = pallas_rnn.block_t_for(dh_out.shape[1])
@@ -559,11 +577,11 @@ def _make_gru_layer(reverse):
             from taiyaki_tpu.ops import pallas_rnn
             T = x.shape[0]
             bt = pallas_rnn.block_t_for(x.shape[1])
-            h, _, _ = pallas_rnn.gru_fused_fwd(
+            h, = pallas_rnn.gru_fused_fwd(
                 _pad_time(x, bt), iW, b, sW, block_t=bt,
                 residual_dtype=jnp.bfloat16, reverse=reverse, true_len=T,
                 h_dtype=_act_stream_dtype(), precision=_mm_precision(),
-                unroll=True)
+                emit_residuals=False, unroll=True)
             return h[:T]
         h, _ = _gru_fwd_core(x @ iW.T + b, sW, reverse)
         return h
@@ -573,6 +591,16 @@ def _make_gru_layer(reverse):
             from taiyaki_tpu.ops import pallas_rnn
             T = x.shape[0]
             bt = pallas_rnn.block_t_for(x.shape[1])
+            if _recompute_pre("gru"):
+                # recompute backward: the forward emits ONLY h — both
+                # gate streams are rebuilt inside gru_bwd_recompute
+                h, = pallas_rnn.gru_fused_fwd(
+                    _pad_time(x, bt), iW, b, sW, block_t=bt,
+                    residual_dtype=jnp.bfloat16, reverse=reverse,
+                    true_len=T, h_dtype=_act_stream_dtype(),
+                    precision=_mm_precision(), emit_residuals=False,
+                    unroll=True)
+                return h[:T], (x, h[:T], None, None, iW, sW, b)
             # the GRU backward re-reads the input gates, so the fused
             # kernel emits them as a bf16 residual stream alongside h/gh
             h, gh, gx = pallas_rnn.gru_fused_fwd(
@@ -580,14 +608,27 @@ def _make_gru_layer(reverse):
                 residual_dtype=jnp.bfloat16, reverse=reverse,
                 true_len=T, h_dtype=_act_stream_dtype(),
                 precision=_mm_precision(), unroll=True)
-            return h[:T], (x, h[:T], gx[:T], gh[:T], iW, sW)
+            return h[:T], (x, h[:T], gx[:T], gh[:T], iW, sW, b)
         h, (h_, r, z, n, ghn, _) = _gru_fwd_core(x @ iW.T + b, sW, reverse)
-        return h, (x, (h, r, z, n, ghn, sW), iW, sW)
+        return h, (x, (h, r, z, n, ghn, sW), iW, sW, b)
 
     def bwd(res, dh_out):
+        if _use_pallas(dh_out.shape[1]) and _recompute_pre("gru"):
+            x, h, _, _, iW, sW, b = res
+            from taiyaki_tpu.ops import pallas_rnn
+            T = x.shape[0]
+            bt = pallas_rnn.block_t_for(dh_out.shape[1])
+            gdt = _grad_stream_dtype()
+            d_x, dsw, diw, db = pallas_rnn.gru_bwd_recompute(
+                _pad_time(dh_out.astype(gdt or dh_out.dtype), bt),
+                _pad_time(h, bt), _pad_time(x, bt), sW, iW, b,
+                block_t=bt, reverse=reverse, dx_dtype=x.dtype,
+                true_len=T, precision=_mm_precision(), unroll=True)
+            return (d_x[:T], jnp.sum(diw, 0).astype(iW.dtype),
+                    jnp.sum(db, 0), jnp.sum(dsw, 0).astype(sW.dtype))
         if _use_pallas(dh_out.shape[1]):
             # fully-fused backward — see the matching LSTM-layer note
-            x, h, gx, gh, iW, sW = res
+            x, h, gx, gh, iW, sW, b = res
             from taiyaki_tpu.ops import pallas_rnn
             T = x.shape[0]
             bt = pallas_rnn.block_t_for(dh_out.shape[1])
@@ -601,7 +642,7 @@ def _make_gru_layer(reverse):
                 true_len=T, unroll=True)
             return (d_x[:T], jnp.sum(diw, 0).astype(iW.dtype),
                     jnp.sum(db, 0), jnp.sum(dsw, 0).astype(sW.dtype))
-        x, core_res, iW, sW = res
+        x, core_res, iW, sW, b = res
         h = core_res[0]
         dgx, dgh = _gru_dgrads_scan(core_res, dh_out, reverse)
         d_x = jnp.einsum("tbg,gd->tbd", dgx, iW,

@@ -512,3 +512,63 @@ def test_lstm_bwd_recompute_matches_vjp():
         np.testing.assert_allclose(np.asarray(db.sum(0)),
                                    np.asarray(db_ref),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_gru_bwd_recompute_matches_vjp():
+    """The gate-recomputing GRU backward (no stored gx/gh residuals; h
+    streamed twice with a block-shifted map) must reproduce the lax.scan
+    VJP — both directions, multi-tile batch, time padding active."""
+    for reverse in (False, True):
+        rng = np.random.default_rng(56)
+        T, B, H, D = 19, 24, 16, 12
+        x = jnp.asarray(rng.normal(size=(T, B, D)).astype(np.float32))
+        iW = jnp.asarray(rng.normal(size=(3 * H, D)).astype(np.float32) * .3)
+        b = jnp.asarray(rng.normal(size=(3 * H,)).astype(np.float32) * .3)
+        sW = jnp.asarray(rng.normal(size=(3 * H, H)).astype(np.float32) * .3)
+        dh = jnp.asarray(rng.normal(size=(T, B, H)).astype(np.float32))
+
+        def ref_fn(x, iW, b, sW):
+            return rnn._gru_fwd_core(x @ iW.T + b, sW, reverse)[0]
+
+        _, vjp = jax.vjp(ref_fn, x, iW, b, sW)
+        dx_ref, diw_ref, db_ref, dsw_ref = vjp(dh)
+
+        h, _ = rnn._gru_fwd_core(x @ iW.T + b, sW, reverse)
+
+        def pad(a):
+            return rnn._pad_time(a, 8)
+
+        dx, dsw, diw, db = pallas_rnn.gru_bwd_recompute(
+            pad(dh), pad(h), pad(x), sW, iW, b,
+            block_t=8, reverse=reverse, true_len=T, interpret=True)
+        np.testing.assert_allclose(np.asarray(dx[:T]), np.asarray(dx_ref),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dsw.sum(0)),
+                                   np.asarray(dsw_ref),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(diw.sum(0)),
+                                   np.asarray(diw_ref),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(db.sum(0)),
+                                   np.asarray(db_ref),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_gru_fused_fwd_no_residuals_matches():
+    """emit_residuals=False must produce the same h as the full-output
+    kernel (inference + recompute-backward path)."""
+    rng = np.random.default_rng(57)
+    T, B, H, D = 16, 16, 12, 8
+    x = jnp.asarray(rng.normal(size=(T, B, D)).astype(np.float32))
+    iW = jnp.asarray(rng.normal(size=(3 * H, D)).astype(np.float32) * .3)
+    b = jnp.asarray(rng.normal(size=(3 * H,)).astype(np.float32) * .3)
+    sW = jnp.asarray(rng.normal(size=(3 * H, H)).astype(np.float32) * .3)
+    for reverse in (False, True):
+        full = pallas_rnn.gru_fused_fwd(x, iW, b, sW, block_t=8,
+                                        reverse=reverse, interpret=True)
+        bare = pallas_rnn.gru_fused_fwd(x, iW, b, sW, block_t=8,
+                                        reverse=reverse, interpret=True,
+                                        emit_residuals=False)
+        assert len(bare) == 1
+        np.testing.assert_array_equal(np.asarray(full[0]),
+                                      np.asarray(bare[0]))

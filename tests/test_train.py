@@ -312,3 +312,57 @@ def test_padded_batch_grads_equal_short_batch(setup):
     for a, b in zip(jax.tree.leaves(g_short), jax.tree.leaves(g_pad)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_long_horizon_mesh_trajectory_matches_single_device(setup):
+    """50-iteration loss-trajectory parity, 1 device vs the 8-device CPU
+    mesh with the same global batch and data order — the strongest
+    multi-chip correctness evidence a single-host environment can
+    produce (the reference's equivalent bound is its 100-iteration
+    2-GPU DDP run, workflow/test_multiGPU.sh:46-66, which needs real
+    GPUs and is excluded from its CI).
+
+    Per-iteration losses are compared across the WHOLE trajectory: the
+    sharded step differs only in psum reduction order, so divergence is
+    bounded by f32 reduction noise compounding through the optimizer —
+    a growing-but-tiny band, far below any real desync (wrong data
+    split, double-counted gradient, desynced buckets), which shows up
+    as O(1) divergence within a few iterations.
+    """
+    mesh = jax.sharding.Mesh(np.array(jax.devices()), ("data",))
+    np.random.seed(4242)
+    ref = run_steps(setup, None, niter=50)
+    np.random.seed(4242)
+    sharded = run_steps(setup, mesh, niter=50)
+    assert np.isfinite(ref).all() and np.isfinite(sharded).all()
+    # both runs must actually train
+    assert ref[-1] < ref[0] and sharded[-1] < sharded[0]
+    np.testing.assert_allclose(sharded[:10], ref[:10], rtol=3e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(sharded, ref, rtol=5e-3, atol=1e-4)
+
+
+def test_remat_matches_plain_gradients(setup, monkeypatch):
+    """--remat (TAIYAKI_TPU_REMAT=1, layers.Serial.apply) must change
+    only WHEN activations are computed, never the values: loss and
+    gradients must match the plain path to reduction tolerance."""
+    reads, ai, net, params, fp = setup
+    from taiyaki_tpu.data import chunk_selection  # noqa: F401
+    np.random.seed(31)
+    batch, _ = train.sample_batch(
+        reads, 400, 8, train.max_seqlen_for_chunk(400, 2, 1.1), ai, fp)
+    loss_fn = train.make_loss_fn(net, False, None, None)
+
+    def loss_and_grads():
+        return jax.jit(jax.value_and_grad(
+            lambda p: loss_fn(p, batch, 1.0, 1.0)))(params)
+
+    plain_loss, plain_grads = loss_and_grads()
+    monkeypatch.setenv("TAIYAKI_TPU_REMAT", "1")
+    remat_loss, remat_grads = loss_and_grads()
+    np.testing.assert_allclose(float(remat_loss), float(plain_loss),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(remat_grads),
+                    jax.tree.leaves(plain_grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
