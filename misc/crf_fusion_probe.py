@@ -47,13 +47,15 @@ def sel_kernel(lp_ref, selstay_ref, selmove_ref, stay_ref, move_ref,
         # streaming-only baseline: touch inputs, write something the
         # compiler can't elide
         z = lp_ref[:].sum()
-        stay_ref[:] = jnp.full_like(stay_ref, 0.0) + z
-        move_ref[:] = jnp.full_like(move_ref, 1.0) + z
+        stay_ref[:] = (jnp.zeros(stay_ref.shape, jnp.float32)
+                       + z).astype(stay_ref.dtype)
+        move_ref[:] = (jnp.ones(move_ref.shape, jnp.float32)
+                       + z).astype(move_ref.dtype)
         return
     lp = lp_ref[:]                         # [BT, BB, S] f32
     # batched dot: batch dim = b -> [BB, BT, S] x [BB, S, L]
     lpb = jnp.transpose(lp, (1, 0, 2))
-    dn = (((1,), (1,)), ((0,), (0,)))      # contract S, batch b
+    dn = (((2,), (1,)), ((0,), (0,)))      # contract S, batch b
     stay = jax.lax.dot_general(lpb, selstay_ref[:], dn,
                                preferred_element_type=jnp.float32)
     move = jax.lax.dot_general(lpb, selmove_ref[:], dn,

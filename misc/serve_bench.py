@@ -1,0 +1,130 @@
+#!/usr/bin/env python3
+"""End-to-end serving benchmark: bin/basecall.py wall-clock on
+realistic-length reads.
+
+The tracked BENCH_METRIC=basecall number measures only the device chain
+(forward + make_trans + Viterbi); the tiny 5-read fixture set makes the
+CLI end-to-end number host-IO-dominated and unrepresentative.  This
+script synthesizes a read set at REALISTIC nanopore scale (default 100
+reads x 100k samples, ~2.5 kb/read at dwell ~10 and stride-equivalent
+calling) into a multi-read fast5, then times the full CLI — fasta,
+fastq, beam, beam+fastq — reporting per-variant wall-clock and
+derived ksample/s, plus the CLI's own stage telemetry.
+
+Usage: python misc/serve_bench.py [--nreads 100] [--samples 100000]
+           [--variants fasta,fastq,beam,beam_fastq] [--model PATH]
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import h5py
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEFAULT_MODEL = os.path.join(REPO, "tests", "data",
+                             "mGru_remap_converted.checkpoint")
+
+VARIANTS = {
+    "fasta": [],
+    "fastq": ["--fastq"],
+    "beam": ["--beam", "5"],
+    "beam_fastq": ["--beam", "5", "--fastq"],
+}
+
+
+def synth_fast5(path, nreads, nsamples, seed=0):
+    """Multi-read fast5 of square-wave-ish synthetic signal (levels per
+    random base, Poisson dwells ~10 samples/base — the remap fixtures'
+    generative model, tests/test_train.py:synth_reads)."""
+    rng = np.random.default_rng(seed)
+    levels = np.array([-1.0, -0.3, 0.4, 1.1])
+    with h5py.File(path, "w") as f5:
+        for i in range(nreads):
+            rid = "synth-%05d" % i
+            nbases = max(10, int(nsamples / 10))
+            dwells = np.maximum(2, rng.poisson(10, size=nbases))
+            bases = rng.integers(0, 4, size=nbases)
+            sig = np.repeat(levels[bases], dwells)[:nsamples]
+            if sig.size < nsamples:
+                sig = np.pad(sig, (0, nsamples - sig.size), mode="edge")
+            sig = sig + rng.normal(0, 0.15, size=sig.size)
+            dacs = np.clip(sig * 1000, -32000, 32000).astype(np.int16)
+            grp = f5.create_group("read_" + rid)
+            ch = grp.create_group("channel_id")
+            ch.attrs["digitisation"] = 8192.0
+            ch.attrs["offset"] = 0.0
+            ch.attrs["range"] = 8192.0
+            ch.attrs["sampling_rate"] = 4000.0
+            raw = grp.create_group("Raw")
+            raw.attrs["read_id"] = rid
+            raw.attrs["start_time"] = 0
+            raw.attrs["duration"] = int(dacs.size)
+            raw.create_dataset("Signal", data=dacs, dtype="i2")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nreads", type=int, default=100)
+    ap.add_argument("--samples", type=int, default=100_000)
+    ap.add_argument("--variants", default="fasta,fastq,beam,beam_fastq")
+    ap.add_argument("--model", default=DEFAULT_MODEL)
+    ap.add_argument("--device", default=None,
+                    help="forwarded to basecall.py --device")
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    tmp = tempfile.mkdtemp(prefix="servebench_")
+    reads_dir = os.path.join(tmp, "reads")
+    os.makedirs(reads_dir)
+    print("# synthesizing %d reads x %d samples -> %s" %
+          (args.nreads, args.samples, reads_dir), flush=True)
+    synth_fast5(os.path.join(reads_dir, "reads.fast5"),
+                args.nreads, args.samples)
+
+    total_samples = args.nreads * args.samples
+    for variant in args.variants.split(","):
+        out = os.path.join(tmp, "calls_%s.%s" % (
+            variant, "fastq" if "fastq" in variant else "fa"))
+        cmd = [sys.executable, os.path.join(REPO, "bin", "basecall.py"),
+               "--output", out] + VARIANTS[variant]
+        if args.device:
+            cmd += ["--device", args.device]
+        cmd += [reads_dir, args.model]
+        t0 = time.perf_counter()
+        res = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=7200)
+        dt = time.perf_counter() - t0
+        if res.returncode != 0:
+            print("%s FAILED rc=%d\n%s" % (variant, res.returncode,
+                                           res.stderr[-2000:]))
+            continue
+        nbases = 0
+        with open(out) as fh:
+            for j, line in enumerate(fh):
+                if "fastq" in variant:
+                    if j % 4 == 1:
+                        nbases += len(line.strip())
+                elif not line.startswith(">"):
+                    nbases += len(line.strip())
+        # the CLI's own telemetry (ksample/s incl. everything)
+        tele = [ln for ln in res.stderr.splitlines()
+                if "ksample" in ln or "kbase" in ln]
+        print("%-11s wall=%7.1fs  %8.1f ksample/s  %7.1f kbase/s  "
+              "(%d bases)  cli:%s" %
+              (variant, dt, total_samples / dt / 1e3, nbases / dt / 1e3,
+               nbases, "; ".join(t.strip().lstrip("*") for t in tele)),
+              flush=True)
+    if not args.keep:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        print("# kept:", tmp)
+
+
+if __name__ == "__main__":
+    main()

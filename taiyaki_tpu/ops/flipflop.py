@@ -50,6 +50,28 @@ def _use_pallas():
         return False
 
 
+def _use_score_fusion():
+    """Fuse the score selection (and the posterior scatter) into the
+    Pallas lattice kernels: the kernels stream lp [T,B,S] and keep the
+    per-row selectors VMEM-resident, so the [T,B,L] stay/move/posterior
+    streams never exist in HBM and all four selection/scatter einsums
+    disappear (measured free in-kernel: misc/crf_fusion_probe.py).
+
+    Numerics: identical to the default unfused path — the one-hot dot at
+    Mosaic DEFAULT precision rounds each selected f32 score to bf16
+    exactly like the unfused path's explicit bf16 score streams.  Under
+    TAIYAKI_TPU_F32_SCORES=1 (exact-score mode: inference CLIs, parity
+    tests) selection falls back to the unfused HIGHEST einsums.
+    TAIYAKI_TPU_NO_SCORE_FUSE=1 forces the unfused path for A/Bs."""
+    if not _use_pallas():
+        return False
+    if os.environ.get("TAIYAKI_TPU_NO_SCORE_FUSE") == "1":
+        return False
+    if os.environ.get("TAIYAKI_TPU_F32_SCORES") == "1":
+        return False
+    return True
+
+
 def _score_stream_dtype():
     """Storage dtype for the stay/move score streams fed to the Pallas
     lattice kernels.  bf16 halves the dominant CRF HBM traffic (kernel
@@ -182,11 +204,61 @@ def _forward_scores(lp, stay_idx, move_idx, modmove_idx, modmove_fact,
     npos = stay_idx.shape[1]
     pos = jnp.arange(npos)[None, :]
     valid = pos < seqlens[:, None]                        # [batch, npos]
+    if _use_score_fusion():
+        setup = _fused_setup(lp, stay_idx, move_idx, modmove_idx,
+                             modmove_fact, valid)
+        if setup is not None:
+            pallas_crf, bb, bt, idxs, lp_p, valid_p = setup
+            fwd_final, score, lattice = pallas_crf.crf_forward_fused(
+                lp_p, *idxs, valid_p, block_b=bb, block_t=bt,
+                residual_dtype=jnp.bfloat16,
+                emit_lattice=collect_lattice, true_len=lp.shape[0],
+                unroll=True)
+            last = jnp.clip(seqlens - 1, 0, npos - 1)
+            score = score + jnp.take_along_axis(
+                fwd_final[:, :npos], last[:, None], axis=1)[:, 0]
+            return score, lattice
     sel_stay, sel_move = _make_selectors(stay_idx, move_idx, modmove_idx,
                                          modmove_fact, nstate)
     stay_all, move_all = _select_all_scores(lp, sel_stay, sel_move)
     return _forward_scores_streams(stay_all, move_all, valid, seqlens,
                                    collect_lattice)
+
+
+def _fused_setup(lp, stay_idx, move_idx, modmove_idx, modmove_fact, valid):
+    """Shared prep for the fused-selection kernels: lane-pad the lattice
+    width and the transition-index vectors (out-of-range padding selects
+    nothing), pick the VMEM-fitting (block_b, block_t) tile, zero-pad
+    lp's time axis.  Returns None when no tile fits (huge L or
+    non-divisible batch) — callers fall back to the unfused
+    einsum+stream path."""
+    from taiyaki_tpu.ops import pallas_crf
+    nblk, nbatch, nstate = lp.shape
+    npos = stay_idx.shape[1]
+    L = npos + ((-npos) % 128)
+    tile = pallas_crf.fused_tile(nbatch, nstate, L)
+    if tile is None:
+        return None
+    bb, bt = tile
+
+    def pad_to_L(x, value):
+        n = x.shape[1]
+        if n < L:
+            x = jnp.pad(x, [(0, 0), (0, L - n)], constant_values=value)
+        return x
+
+    sidx = pad_to_L(stay_idx.astype(jnp.int32), nstate)
+    midx = pad_to_L(move_idx.astype(jnp.int32), nstate)
+    if modmove_idx is None:
+        mmidx = jnp.full((nbatch, L), nstate, jnp.int32)
+        mmfact = jnp.zeros((nbatch, L), jnp.float32)
+    else:
+        mmidx = pad_to_L(modmove_idx.astype(jnp.int32), nstate)
+        mmfact = pad_to_L(modmove_fact.astype(jnp.float32), 0.0)
+    lp_p = _pad_axis(lp.astype(jnp.float32), 0, bt, 0.0)
+    valid_p = _pad_axis(valid.astype(jnp.int32), 1, 128, 0)
+    return (pallas_crf, bb, bt, (sidx, midx, mmidx, mmfact), lp_p,
+            valid_p)
 
 
 def _forward_scores_streams(stay_all, move_all, valid, seqlens,
@@ -248,6 +320,23 @@ def _grad_scores(lp, stay_idx, move_idx, modmove_idx, modmove_fact, seqlens):
     pos = jnp.arange(npos)[None, :]
     valid = pos < seqlens[:, None]
     valid_move = pos[:, :-1] < (seqlens[:, None] - 1)
+    if _use_score_fusion():
+        setup = _fused_setup(lp, stay_idx, move_idx, modmove_idx,
+                             modmove_fact, valid)
+        if setup is not None:
+            pallas_crf, bb, bt, idxs, lp_p, valid_p = setup
+            fwd_final, score, lattice = pallas_crf.crf_forward_fused(
+                lp_p, *idxs, valid_p, block_b=bb, block_t=bt,
+                residual_dtype=jnp.bfloat16, emit_lattice=True,
+                true_len=nblk, unroll=True)
+            last = jnp.clip(seqlens - 1, 0, npos - 1)
+            score = score + jnp.take_along_axis(
+                fwd_final[:, :npos], last[:, None], axis=1)[:, 0]
+            grad = pallas_crf.crf_backward_fused(
+                lp_p, *idxs, lattice, valid_p,
+                last[:, None].astype(jnp.int32), block_b=bb, block_t=bt,
+                true_len=nblk, unroll=True)
+            return score, grad[:nblk]
     sel_stay, sel_move = _make_selectors(stay_idx, move_idx, modmove_idx,
                                          modmove_fact, nstate)
     stay_all, move_all = _select_all_scores(lp, sel_stay, sel_move)

@@ -146,3 +146,161 @@ def test_crf_bf16_score_streams_close():
                          sel_move))
     np.testing.assert_allclose(np.asarray(grad), np.asarray(grad_ref),
                                atol=0.03)
+
+
+def _fused_inputs(lp, seqs, seqlens, bt):
+    stay_idx, move_idx = ffops.make_seq_indices(seqs, 4)
+    npos = seqs.shape[1]
+    pos = jnp.arange(npos)[None, :]
+    valid = pos < seqlens[:, None]
+    setup = ffops._fused_setup(lp, stay_idx, move_idx, None, None, valid)
+    assert setup is not None
+    _, _, _, idxs, _, valid_p = setup
+    lp_p = ffops._pad_axis(lp.astype(jnp.float32), 0, bt, 0.0)
+    return stay_idx, move_idx, idxs, lp_p, valid_p
+
+
+def test_crf_forward_fused_matches_scan():
+    """In-kernel score selection (batched one-hot dot against
+    scratch-built per-row selectors) must reproduce the einsum+stream
+    forward.  The fused kernel's score/selector scratch is bf16 (the
+    same storage the unfused path's score streams use), so the tight
+    comparison is against the unfused kernel fed bf16 streams; the
+    exact-f32 scan is a loose sanity anchor."""
+    lp, seqs, seqlens = setup(T=23, B=8, L=12, seed=5)
+    bt = 4
+    stay_idx, move_idx, idxs, lp_p, valid_p = _fused_inputs(
+        lp, seqs, seqlens, bt)
+    npos = seqs.shape[1]
+    last = jnp.clip(seqlens - 1, 0, npos - 1)
+
+    fwd_final, score, lattice = pallas_crf.crf_forward_fused(
+        lp_p, *idxs, valid_p, block_b=8, block_t=bt,
+        true_len=lp.shape[0], interpret=True)
+    score = score + jnp.take_along_axis(
+        fwd_final[:, :npos], last[:, None], axis=1)[:, 0]
+
+    # tight: unfused Pallas forward on explicitly-bf16 score streams
+    _, _, stay_all, move_all, valid = lattice_streams(lp, seqs, seqlens)
+    stay_p, move_p, valid_p2 = ffops._pallas_lattice_inputs(
+        stay_all, move_all, valid, bt, dtype=jnp.bfloat16)
+    fwd_u, score_u, lattice_u = pallas_crf.crf_forward(
+        stay_p, move_p, valid_p2, block_t=bt,
+        residual_dtype=jnp.bfloat16, interpret=True)
+    score_u = score_u + jnp.take_along_axis(
+        fwd_u[:, :npos], last[:, None], axis=1)[:, 0]
+    np.testing.assert_allclose(np.asarray(score), np.asarray(score_u),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(lattice[:lp.shape[0], :, :npos]).astype(np.float32),
+        np.asarray(lattice_u[:lp.shape[0], :, :npos]).astype(np.float32),
+        rtol=1e-6, atol=1e-6)
+
+    # loose: exact-f32 scan (bf16 score rounding is the documented gap)
+    score_ref, _ = ffops._forward_scores(
+        lp, stay_idx, move_idx, None, None, seqlens, collect_lattice=True)
+    np.testing.assert_allclose(np.asarray(score), np.asarray(score_ref),
+                               rtol=5e-3, atol=5e-2)
+
+    # emit_lattice=False (primal/validation) returns the same score
+    fwd2, score2, none = pallas_crf.crf_forward_fused(
+        lp_p, *idxs, valid_p, block_b=8, block_t=bt,
+        emit_lattice=False, true_len=lp.shape[0], interpret=True)
+    assert none is None
+    score2 = score2 + jnp.take_along_axis(
+        fwd2[:, :npos], last[:, None], axis=1)[:, 0]
+    np.testing.assert_allclose(np.asarray(score2), np.asarray(score),
+                               rtol=1e-6)
+
+
+def test_crf_backward_fused_matches_scan_grad():
+    """The fully-fused backward (selection in, posterior scatter out)
+    must reproduce the unfused bf16 chain's d(score)/d(lp) — multi-
+    batch-tile, time padding active."""
+    lp, seqs, seqlens = setup(T=23, B=16, L=12, seed=6)
+    bt = 4
+    stay_idx, move_idx, idxs, lp_p, valid_p = _fused_inputs(
+        lp, seqs, seqlens, bt)
+    npos = seqs.shape[1]
+    last = jnp.clip(seqlens - 1, 0, npos - 1)
+    _, _, lattice = pallas_crf.crf_forward_fused(
+        lp_p, *idxs, valid_p, block_b=8, block_t=bt,
+        true_len=lp.shape[0], interpret=True)
+    grad = pallas_crf.crf_backward_fused(
+        lp_p, *idxs, lattice, valid_p, last[:, None].astype(jnp.int32),
+        block_b=8, block_t=bt, true_len=lp.shape[0], interpret=True)
+
+    # tight: unfused bf16 pallas chain (streams + posts bf16) + einsums
+    _, _, stay_all, move_all, valid = lattice_streams(lp, seqs, seqlens)
+    stay_p, move_p, valid_p2 = ffops._pallas_lattice_inputs(
+        stay_all, move_all, valid, bt, dtype=jnp.bfloat16)
+    _, _, lattice_u = pallas_crf.crf_forward(
+        stay_p, move_p, valid_p2, block_t=bt,
+        residual_dtype=jnp.bfloat16, interpret=True)
+    post_stay, post_move = pallas_crf.crf_backward_posteriors(
+        stay_p, move_p, lattice_u, valid_p2,
+        last[:, None].astype(jnp.int32), block_t=bt,
+        out_dtype=jnp.bfloat16, interpret=True)
+    T = lp.shape[0]
+    sel_stay, sel_move = ffops._make_selectors(stay_idx, move_idx, None,
+                                               None, 40)
+    grad_u = (jnp.einsum("tbl,bls->tbs",
+                         post_stay[:T, :, :npos].astype(jnp.float32),
+                         sel_stay)
+              + jnp.einsum("tbl,bls->tbs",
+                           post_move[:T, :, :npos - 1].astype(jnp.float32),
+                           sel_move))
+    np.testing.assert_allclose(np.asarray(grad[:T]), np.asarray(grad_u),
+                               rtol=1e-5, atol=1e-5)
+
+    # loose: exact-f32 scan grad
+    _, grad_ref = ffops._grad_scores(lp, stay_idx, move_idx, None, None,
+                                     seqlens)
+    np.testing.assert_allclose(np.asarray(grad[:T]), np.asarray(grad_ref),
+                               rtol=2e-2, atol=5e-3)
+
+
+def test_crf_fused_cat_mod_selectors():
+    """cat_mod folds weighted mod columns into the move selector; the
+    fused path must reproduce the unfused grad with those non-one-hot
+    selectors too (mod weights round to bf16 in the selector scratch —
+    the same error class as the bf16 score streams)."""
+    rng = np.random.default_rng(9)
+    T, B, L, nmods = 16, 8, 10, 2
+    nstate = 40 + 1 + nmods
+    lp = jnp.asarray(rng.normal(size=(T, B, nstate)).astype(np.float32))
+    seqs = np.zeros((B, L), dtype=np.int32)
+    seqlens = rng.integers(2, L + 1, size=B).astype(np.int32)
+    for b in range(B):
+        seqs[b, :seqlens[b]] = flipflopfings.flipflop_code(
+            rng.integers(0, 4, size=seqlens[b]))
+    seqs = jnp.asarray(seqs)
+    seqlens = jnp.asarray(seqlens)
+    stay_idx, move_idx = ffops.make_seq_indices(seqs, 4)
+    modmove_idx = jnp.asarray(
+        rng.integers(40, nstate, size=(B, L - 1)).astype(np.int32))
+    modmove_fact = jnp.asarray(
+        rng.uniform(0.1, 1.0, size=(B, L - 1)).astype(np.float32))
+    score_ref, grad_ref = ffops._grad_scores(
+        lp, stay_idx, move_idx, modmove_idx, modmove_fact, seqlens)
+    pos = jnp.arange(L)[None, :]
+    valid = pos < seqlens[:, None]
+    bt = 4
+    setup_out = ffops._fused_setup(lp, stay_idx, move_idx, modmove_idx,
+                                   modmove_fact, valid)
+    assert setup_out is not None
+    _, _, _, idxs, _, valid_p = setup_out
+    lp_p = ffops._pad_axis(lp.astype(jnp.float32), 0, bt, 0.0)
+    fwd_final, score, lattice = pallas_crf.crf_forward_fused(
+        lp_p, *idxs, valid_p, block_b=8, block_t=bt, true_len=T,
+        interpret=True)
+    last = jnp.clip(seqlens - 1, 0, L - 1)
+    score = score + jnp.take_along_axis(
+        fwd_final[:, :L], last[:, None], axis=1)[:, 0]
+    grad = pallas_crf.crf_backward_fused(
+        lp_p, *idxs, lattice, valid_p, last[:, None].astype(jnp.int32),
+        block_b=8, block_t=bt, true_len=T, interpret=True)
+    np.testing.assert_allclose(np.asarray(score), np.asarray(score_ref),
+                               rtol=5e-3, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(grad[:T]), np.asarray(grad_ref),
+                               rtol=2e-2, atol=5e-3)
