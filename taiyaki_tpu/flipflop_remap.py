@@ -11,6 +11,9 @@ forces global alignment and smaller values permit clipping ("glocal").
 Blocks spent in start/end are marked -1 in the returned path.
 """
 
+import os
+import subprocess
+
 import numpy as np
 
 from taiyaki_tpu import flipflopfings
@@ -32,6 +35,19 @@ def map_to_crf_viterbi(scores, step_index, stay_index, localpen=LARGE_VAL):
     T = len(scores)
     M = len(stay_index)
     assert len(step_index) == M - 1
+
+    # Real-length reads (T ~ 2e4, M ~ 1e4) take ~3 s/read in this numpy
+    # loop — it dominated beam+fastq serving — vs ~0.1 s in the C++
+    # kernel (decodeutil/remapviterbi.cpp, bit-compatible semantics,
+    # pinned by tests).  The numpy path remains as reference/fallback.
+    if os.environ.get("TAIYAKI_TPU_NO_NATIVE_REMAP") != "1":
+        try:
+            from taiyaki_tpu import decodeutil
+            score, path = decodeutil.remap_viterbi(
+                scores, stay_index, step_index, localpen)
+            return score, path
+        except (OSError, subprocess.CalledProcessError):
+            pass  # no toolchain/build failure: numpy fallback below
 
     # Viterbi scores for the current/previous block-boundary.
     curr = np.full(M, -LARGE_VAL)

@@ -100,3 +100,42 @@ def test_remap_random_agrees_with_reference_impl():
                 continue
             assert abs(s1 - s2) < 1e-4, (s1, s2)
             assert p1.tolist() == p2.tolist()
+
+
+def test_native_remap_matches_numpy():
+    """The C++ remap Viterbi (decodeutil/remapviterbi.cpp) must
+    reproduce the numpy reference loop — identical paths, scores to f32
+    rounding (numpy 2's weak promotion makes the numpy loop's
+    start/end-state accumulators np.float32 — `python-float +
+    np.float32` — while the lattice itself is f64; the C++ kernel
+    accumulates everything in f64, so scores differ at the f32 epsilon)
+    — including glocal (finite localpen) clipping."""
+    import os
+    import numpy as np
+    from taiyaki_tpu import decodeutil, flipflop_remap
+    from taiyaki_tpu.constants import LARGE_VAL
+
+    rng = np.random.default_rng(3)
+    for localpen in (LARGE_VAL, 2.5):
+        for trial in range(4):
+            # M <= T keeps the alignment feasible: an infeasible one
+            # scores -LARGE_VAL down both the lattice and the end state,
+            # and which garbage branch the traceback picks then depends
+            # on accumulator rounding (meaningless either way — callers
+            # reject such reads on the score)
+            T = int(rng.integers(20, 120))
+            M = int(rng.integers(5, min(60, T)))
+            scores = rng.normal(size=(T, 40)).astype(np.float32)
+            stay_index = rng.integers(0, 40, size=M).astype(np.int32)
+            step_index = rng.integers(0, 40, size=M - 1).astype(np.int32)
+            os.environ["TAIYAKI_TPU_NO_NATIVE_REMAP"] = "1"
+            try:
+                score_np, path_np = flipflop_remap.map_to_crf_viterbi(
+                    scores, step_index, stay_index, localpen=localpen)
+            finally:
+                del os.environ["TAIYAKI_TPU_NO_NATIVE_REMAP"]
+            score_cc, path_cc = decodeutil.remap_viterbi(
+                scores, stay_index, step_index, localpen)
+            assert abs(score_cc - score_np) < 1e-5 * max(
+                1.0, abs(score_np)), (localpen, trial)
+            np.testing.assert_array_equal(path_cc, path_np)
