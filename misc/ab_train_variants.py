@@ -26,6 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VARIANT_ENVS = {
     "default": {},
+    "bt4": {"TAIYAKI_TPU_RNN_BLOCK_T": "4"},
+    "bt8": {"TAIYAKI_TPU_RNN_BLOCK_T": "8"},
     "norecompute": {"TAIYAKI_TPU_NO_RECOMPUTE": "1"},
     "f32acts": {"TAIYAKI_TPU_BF16_ACTS": "0"},
     "f32grads": {"TAIYAKI_TPU_F32_GRADS": "1"},

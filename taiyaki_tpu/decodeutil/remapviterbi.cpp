@@ -56,16 +56,28 @@ extern "C" double tt_flipflop_remap_viterbi(
         const double stayed0 = prev[0] + (double)stay0;
         curr[0] = stayed0;
         // m >= 1: best of stay (prev[m] + stay_sc[m]) and step
-        // (prev[m-1] + step_sc[m-1]); strict > prefers stay on ties
-        for (size_t m = 1; m < M; m++) {
-            const double stayed = prev[m] + (double)row[stay_index[m]];
-            const double stepped =
-                prev[m - 1] + (double)row[step_index[m - 1]];
-            if (stepped > stayed) {
-                curr[m] = stepped;
-                tb[m >> 3] |= (uint8_t)(1u << (7 - (m & 7)));
-            } else {
-                curr[m] = stayed;
+        // (prev[m-1] + step_sc[m-1]); strict > prefers stay on ties.
+        // Branchless byte-at-a-time: the compiler vectorizes the
+        // select, and the traceback bits accumulate in a register
+        // (one store per 8 lattice columns).
+        {
+            const double *__restrict__ pv = prev.data();
+            double *__restrict__ cu = curr.data();
+            size_t m = 1;
+            while (m < M) {
+                uint8_t bits = tb[m >> 3];
+                const size_t mend = ((m >> 3) + 1) << 3;
+                const size_t stop = mend < M ? mend : M;
+                for (; m < stop; m++) {
+                    const double stayed =
+                        pv[m] + (double)row[stay_index[m]];
+                    const double stepped =
+                        pv[m - 1] + (double)row[step_index[m - 1]];
+                    const int better = stepped > stayed;
+                    cu[m] = better ? stepped : stayed;
+                    bits |= (uint8_t)(better << (7 - (m & 7)));
+                }
+                tb[(m - 1) >> 3] = bits;
             }
         }
         if (start_score > curr[0]) curr[0] = start_score;

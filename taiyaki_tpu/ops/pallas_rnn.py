@@ -66,7 +66,12 @@ def block_b_for(batch_size):
 def block_t_for(batch_size):
     """Time steps per grid iteration for this batch size: scales down as
     the batch TILE grows so VMEM per grid step stays at the tuned
-    block_t * block_b budget."""
+    block_t * block_b budget.  TAIYAKI_TPU_RNN_BLOCK_T overrides for
+    on-chip tuning probes (misc/ab_train_variants.py)."""
+    import os
+    override = os.environ.get("TAIYAKI_TPU_RNN_BLOCK_T")
+    if override:
+        return int(override)
     bb = block_b_for(batch_size)
     return max(1, min(DEFAULT_BLOCK_T, _BT_BUDGET // bb))
 
