@@ -59,10 +59,12 @@ def probe_backend(attempts=4, timeout_s=120):
 def emit_error(message):
     """Emit the single JSON line in error form so the driver can tell a
     wedged backend apart from a broken build (rc stays 0 deliberately)."""
+    basecall = os.environ.get("BENCH_METRIC") == "basecall"
     print(json.dumps({
-        "metric": "train_chunks_per_sec",
+        "metric": ("basecall_ksample_per_sec" if basecall
+                   else "train_chunks_per_sec"),
         "value": None,
-        "unit": "chunks/s",
+        "unit": "ksample/s" if basecall else "chunks/s",
         "vs_baseline": None,
         "error": message,
     }))

@@ -27,6 +27,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 VARIANT_ENVS = {
     "default": {},
     "bt4": {"TAIYAKI_TPU_RNN_BLOCK_T": "4"},
+    "stepwgrad": {"TAIYAKI_TPU_STEP_WGRAD": "1"},
+    "bb128bt4": {"TAIYAKI_TPU_RNN_BLOCK_B": "128",
+                 "TAIYAKI_TPU_RNN_BLOCK_T": "4"},
+    "bb128bt8": {"TAIYAKI_TPU_RNN_BLOCK_B": "128",
+                 "TAIYAKI_TPU_RNN_BLOCK_T": "8"},
+    "bb64bt8": {"TAIYAKI_TPU_RNN_BLOCK_B": "64",
+                "TAIYAKI_TPU_RNN_BLOCK_T": "8"},
     "bt8": {"TAIYAKI_TPU_RNN_BLOCK_T": "8"},
     "norecompute": {"TAIYAKI_TPU_NO_RECOMPUTE": "1"},
     "f32acts": {"TAIYAKI_TPU_BF16_ACTS": "0"},
@@ -93,6 +100,8 @@ def main():
             saved = {k: os.environ.get(k) for k in env}
             os.environ.update(env)
             try:
+                # a variant that fails to compile (e.g. a VMEM OOM at a
+                # probed block size) is a data point, not a fatal error
                 params = net.init(np.random.default_rng(0))
                 opt_state = opt.init(params)
                 nleaves = len(jax.tree.leaves(params))
@@ -122,13 +131,19 @@ def main():
                     "final_loss": round(final, 6),
                     "compile_s": round(compile_s, 1),
                 }), flush=True)
+            except Exception as exc:
+                print(json.dumps({
+                    "bs": bs, "variant": variant,
+                    "error": "%s: %s" % (type(exc).__name__,
+                                         str(exc)[-300:]),
+                }), flush=True)
             finally:
                 for k, v in saved.items():
                     if v is None:
                         os.environ.pop(k, None)
                     else:
                         os.environ[k] = v
-    # pairwise summary per batch
+    # pairwise summary per batch (failed variants simply absent)
     for bs in sorted({k[0] for k in results}):
         row = {v: results[(bs, v)][0] for b, v in results if b == bs}
         print("# bs=%d  %s" % (bs, "  ".join(

@@ -32,8 +32,8 @@ DEFAULT_MODEL = os.path.join(REPO, "tests", "data",
 VARIANTS = {
     "fasta": [],
     "fastq": ["--fastq"],
-    "beam": ["--beam", "5"],
-    "beam_fastq": ["--beam", "5", "--fastq"],
+    "beam": ["--beam", "5", "1"],           # --beam takes (width, guided)
+    "beam_fastq": ["--beam", "5", "1", "--fastq"],
 }
 
 
@@ -91,7 +91,8 @@ def main():
         out = os.path.join(tmp, "calls_%s.%s" % (
             variant, "fastq" if "fastq" in variant else "fa"))
         cmd = [sys.executable, os.path.join(REPO, "bin", "basecall.py"),
-               "--output", out] + VARIANTS[variant]
+               "--output", out, "--jobs", str(os.cpu_count() or 1)
+               ] + VARIANTS[variant]
         if args.device:
             cmd += ["--device", args.device]
         cmd += [reads_dir, args.model]

@@ -56,7 +56,12 @@ def block_b_for(batch_size):
     batch and block_t_for reproduces the pre-tiling tuning exactly
     (bs256 measured 5304 chunks/s untiled vs 5172 with 64-row tiles —
     more, smaller recurrent matmuls); beyond 256 the batch splits into
-    256-row tiles, which is what makes bs512+ fit VMEM at all."""
+    256-row tiles, which is what makes bs512+ fit VMEM at all.
+    TAIYAKI_TPU_RNN_BLOCK_B overrides for on-chip tuning probes."""
+    import os
+    override = os.environ.get("TAIYAKI_TPU_RNN_BLOCK_B")
+    if override and batch_size % int(override) == 0:
+        return int(override)
     bb = DEFAULT_BLOCK_B
     while bb > 8 and batch_size % bb != 0:
         bb //= 2
@@ -291,6 +296,23 @@ def _lstm_bwd_fusedw_kernel(dh_ref, pre_ref, c_ref, cprev_ref, h_ref, x_ref,
     run_steps(body, block_t, unroll)
 
 
+def _shifted_prev_block(ref, prevblk_ref, base, T, descending):
+    """The whole block of prev-states, vectorized over in-block rows:
+    row k holds the state ENTERING that row's step (see _prev_at) —
+    static slicing + one boundary row from the adjacent block, with the
+    initial-state rows zeroed."""
+    blk = ref[:].astype(jnp.float32)
+    bt = blk.shape[0]
+    row_t = base + jax.lax.broadcasted_iota(jnp.int32, blk.shape, 0)
+    if descending:
+        boundary = prevblk_ref[bt - 1:bt].astype(jnp.float32)
+        shifted = jnp.concatenate([boundary, blk[:bt - 1]], axis=0)
+        return jnp.where(row_t == 0, 0.0, shifted)
+    boundary = prevblk_ref[0:1].astype(jnp.float32)
+    shifted = jnp.concatenate([blk[1:], boundary], axis=0)
+    return jnp.where(row_t + 1 >= T, 0.0, shifted)
+
+
 def lstm_bwd_fusedw(dh_out, pre, c, c_prev, h, x, sW, iW,
                     block_t=DEFAULT_BLOCK_T, interpret=False, reverse=False,
                     dx_dtype=None, true_len=None, unroll=False):
@@ -308,25 +330,36 @@ def lstm_bwd_fusedw(dh_out, pre, c, c_prev, h, x, sW, iW,
     ngrid = T // block_t
     bb = block_b_for(B)
     nb = B // bb
-    imap, order = _time_maps(ngrid, block_t, descending=not reverse)
+    descending = not reverse
+    imap, order = _time_maps(ngrid, block_t, descending=descending)
+    wmap3 = lambda ib, it: (ib, 0, 0)
+    # Weight gradients accumulate PER STEP: a block-batched variant
+    # (park dpre in scratch, one large dot per block) measured NEUTRAL
+    # on-chip (7283 vs 7326 at bs256 — the per-step dots already hide
+    # under the sequential chain) while costing a second h stream for
+    # the d_sW pairing; reverted, misc/ab_train_variants.py stepwgrad.
+    stream = lambda w: pl.BlockSpec((block_t, bb, w), imap,
+                                    memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _lstm_bwd_fusedw_kernel, block_t=block_t, H=H,
         T=(T if true_len is None else true_len), ngrid=ngrid,
-        descending=not reverse, order=order, unroll=unroll)
-    wmap3 = lambda ib, it: (ib, 0, 0)
+        descending=descending, order=order, unroll=unroll)
+    in_specs = [
+        stream(H), stream(H4), stream(H), stream(H), stream(H),
+        stream(D),
+        pl.BlockSpec((H4, H), _WMAP, memory_space=pltpu.VMEM),
+        pl.BlockSpec((H4, D), _WMAP, memory_space=pltpu.VMEM),
+    ]
+    inputs = (dh_out, pre, c, c_prev, h, x, sW, iW)
+    scratch = [
+        pltpu.VMEM((bb, H), jnp.float32),
+        pltpu.VMEM((bb, H), jnp.float32),
+        pltpu.VMEM((bb, H4), jnp.float32),
+    ]
     dx, dsw, diw, db = pl.pallas_call(
         kernel,
         grid=(nb, ngrid),
-        in_specs=[
-            pl.BlockSpec((block_t, bb, H), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, bb, H4), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, bb, H), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, bb, H), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, bb, H), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, bb, D), imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((H4, H), _WMAP, memory_space=pltpu.VMEM),
-            pl.BlockSpec((H4, D), _WMAP, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((block_t, bb, D), imap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H4, H), wmap3, memory_space=pltpu.VMEM),
@@ -340,13 +373,9 @@ def lstm_bwd_fusedw(dh_out, pre, c, c_prev, h, x, sW, iW,
             jax.ShapeDtypeStruct((nb, H4, D), jnp.float32),
             jax.ShapeDtypeStruct((nb, 1, H4), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((bb, H), jnp.float32),
-            pltpu.VMEM((bb, H), jnp.float32),
-            pltpu.VMEM((bb, H4), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(dh_out, pre, c, c_prev, h, x, sW, iW)
+    )(*inputs)
     return dx, dsw, diw, db[:, 0]
 
 
@@ -1046,7 +1075,8 @@ def gru_bwd_fusedw(dh_out, gates_x, gh, h_prev, x, sW, iW,
 def _gru_bwd_recompute_kernel(dh_ref, h_ref, hprevblk_ref, x_ref,
                               swt_ref, sw_ref, iwt_ref, iw_ref, b_ref,
                               dx_ref, dsw_ref, diw_ref, db_ref,
-                              dh_carry, gx_scratch,
+                              dh_carry, gx_scratch, dgx_scratch,
+                              dgh_scratch,
                               *, block_t, H, T, ngrid, descending, order,
                               precision, unroll=False):
     """Fused-weights GRU backward that RECOMPUTES both gate streams
@@ -1090,25 +1120,33 @@ def _gru_bwd_recompute_kernel(dh_ref, h_ref, hprevblk_ref, x_ref,
         dgx = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
         # mask padded tail rows out of the accumulated gradients (the
         # reverse-direction chain walks INTO the padding with a live
-        # carry)
+        # carry); both gradients park in scratch — the weight/input
+        # contractions run block-batched after the loop
         live = base + k < T
         dgx = jnp.where(live, dgx, 0.0)
         dgh = jnp.where(live, dgh, 0.0)
-        dx = jnp.dot(dgx, iw_ref[:], preferred_element_type=jnp.float32)
-        dx_ref[k] = dx.astype(dx_ref.dtype)
-        dsw_ref[0] += jax.lax.dot_general(
-            dgh, h_prev, _BATCH_CONTRACT,
-            preferred_element_type=jnp.float32)
-        diw_ref[0] += jax.lax.dot_general(
-            dgx, x_ref[k].astype(jnp.float32), _BATCH_CONTRACT,
-            preferred_element_type=jnp.float32)
-        db_ref[0] += jnp.sum(dgx, axis=0, keepdims=True)
+        dgx_scratch[k] = dgx
+        dgh_scratch[k] = dgh
         dh_carry[:] = (jnp.dot(dgh, sw_ref[:],
                                preferred_element_type=jnp.float32)
                        + dh * z)
         return 0
 
     run_steps(body, block_t, unroll)
+
+    bt, B, H3 = dgx_scratch.shape
+    dgx_blk = dgx_scratch[:].reshape(bt * B, H3)
+    dgh_blk = dgh_scratch[:].reshape(bt * B, H3)
+    dx = jnp.dot(dgx_blk, iw_ref[:], preferred_element_type=jnp.float32)
+    dx_ref[:] = dx.reshape(bt, B, dx.shape[-1]).astype(dx_ref.dtype)
+    hprev = _shifted_prev_block(h_ref, hprevblk_ref, base, T, descending)
+    dsw_ref[0] += jax.lax.dot_general(
+        dgh_blk, hprev.reshape(bt * B, hprev.shape[-1]), _BATCH_CONTRACT,
+        preferred_element_type=jnp.float32)
+    diw_ref[0] += jax.lax.dot_general(
+        dgx_blk, x_ref[:].astype(jnp.float32).reshape(bt * B, -1),
+        _BATCH_CONTRACT, preferred_element_type=jnp.float32)
+    db_ref[0] += jnp.sum(dgx_blk, axis=0, keepdims=True)
 
 
 def gru_bwd_recompute(dh_out, h, x, sW, iW, b,
@@ -1165,6 +1203,8 @@ def gru_bwd_recompute(dh_out, h, x, sW, iW, b,
         ],
         scratch_shapes=[
             pltpu.VMEM((bb, H), jnp.float32),
+            pltpu.VMEM((block_t, bb, H3), jnp.float32),
+            pltpu.VMEM((block_t, bb, H3), jnp.float32),
             pltpu.VMEM((block_t, bb, H3), jnp.float32),
         ],
         interpret=interpret,
