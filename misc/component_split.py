@@ -1,0 +1,115 @@
+#!/usr/bin/env python3
+"""On-chip component split of the train step by ablation.
+
+Times jitted sub-programs that each stop at a different depth of the
+step (device-resident inputs, scalar-fetch barrier, best of 3 windows)
+so successive differences attribute time to components.  Stages:
+
+  fwd        network forward only
+  loss_fwd   + CRF loss value + logZ (no gradients)
+  grads      + full backward (value_and_grad)
+  step       + clip + AdamW update (the real train step)
+
+Usage: python misc/component_split.py [--batch 256] [--shape dna|rna]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--shape", default="dna")
+    ap.add_argument("--model", default="mLstm")
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from taiyaki_tpu import train
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "misc"))
+    from ab_train_variants import make_batch
+
+    rna = args.shape == "rna"
+    chunk_len = 16000 if rna else 4000
+    stride = 10 if rna else 5
+    winlen = 31 if rna else 19
+    if args.model == "mGru":
+        from taiyaki_tpu.models import mGru_flipflop as model_mod
+        if not rna:
+            stride = 2
+    else:
+        from taiyaki_tpu.models import mLstm_flipflop as model_mod
+
+    net = model_mod.network(size=256, stride=stride, winlen=winlen)
+    params = jax.device_put(net.init(np.random.default_rng(0)))
+    opt, _ = train.make_optimizer(lr_max=4e-3, niteration=1000,
+                                  warmup_batches=10, lr_warmup=1e-4,
+                                  lr_min=1e-4)
+    opt_state = jax.device_put(opt.init(params))
+    batch = make_batch(train, np.random.default_rng(0), chunk_len,
+                       stride, args.batch)
+    batch = train.Batch(*[jax.device_put(a) if a is not None else None
+                          for a in batch])
+    loss_fn = train.make_loss_fn(net, False, None, None)
+    nleaves = len(jax.tree.leaves(params))
+    threshs = jnp.full(nleaves, jnp.inf, jnp.float32)
+
+    @jax.jit
+    def fwd(params, batch):
+        return net.apply(params, batch.signal).sum()
+
+    @jax.jit
+    def loss_fwd(params, batch):
+        return loss_fn(params, batch, 1.0, 1.0)
+
+    @jax.jit
+    def grads(params, batch):
+        loss, g = jax.value_and_grad(
+            lambda p: loss_fn(p, batch, 1.0, 1.0))(params)
+        return loss + sum(jnp.sum(x) for x in jax.tree.leaves(g))
+
+    step_fn = train.jit_train_step(train.make_train_step(net, opt),
+                                   mesh=None)
+
+    def run_step():
+        nonlocal params, opt_state
+        params, opt_state, loss, _ = step_fn(params, opt_state, batch,
+                                             1.0, 1.0, threshs)
+        return loss
+
+    stages = [("fwd", lambda: fwd(params, batch)),
+              ("loss_fwd", lambda: loss_fwd(params, batch).sum()),
+              ("grads", lambda: grads(params, batch)),
+              ("step", run_step)]
+    times = {}
+    for name, fn in stages:
+        float(fn())                      # compile + barrier
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                r = fn()
+            float(r)
+            best = min(best, (time.perf_counter() - t0) / args.iters)
+        times[name] = best * 1e3
+        print("%-9s %7.2f ms" % (name, times[name]), flush=True)
+    print("-- differences --")
+    print("network fwd          %7.2f ms" % times["fwd"])
+    print("CRF+logZ fwd         %7.2f ms" % (times["loss_fwd"] - times["fwd"]))
+    print("backward (all)       %7.2f ms" % (times["grads"] - times["loss_fwd"]))
+    print("optimizer/clip/misc  %7.2f ms" % (times["step"] - times["grads"]))
+    print("total step           %7.2f ms  (%.0f chunks/s)"
+          % (times["step"], args.batch / times["step"] * 1e3))
+
+
+if __name__ == "__main__":
+    main()
