@@ -30,7 +30,7 @@ _PROBE = (
 )
 
 
-def probe_backend(attempts=4, timeout_s=120):
+def probe_backend(attempts=8, timeout_s=150):
     """Check the JAX backend can initialize and run a tiny matmul.
 
     Runs in a subprocess so a failed (and process-cached) backend init
@@ -52,7 +52,10 @@ def probe_backend(attempts=4, timeout_s=120):
         except subprocess.TimeoutExpired:
             last = "probe timed out after %ds" % timeout_s
         if i + 1 < attempts:
-            time.sleep(5 * (i + 1))
+            # the tunnel's wedges can last tens of minutes (r3 observed
+            # ~30 min); with 8 attempts this waits ~15 min total before
+            # giving up, which has recovered every observed wedge
+            time.sleep(min(180, 15 * (i + 1)))
     return last
 
 
