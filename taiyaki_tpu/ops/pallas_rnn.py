@@ -210,16 +210,34 @@ def _emit_dx(g_ref, iwt_ref, dx_ref):
     dx_ref[:] = dx.reshape(bt, B, dx.shape[-1]).astype(dx_ref.dtype)
 
 
+# TIMING PROBE ONLY (TAIYAKI_TPU_FAKE_TRANS=1): replace the backward's
+# transcendentals with linear stand-ins to measure their share of the
+# step.  Wrong numerics; never a shipped path.
+import os as _os
+
+
+def _fake_trans():
+    return _os.environ.get("TAIYAKI_TPU_FAKE_TRANS") == "1"
+
+
+def _sig(x):
+    return x * 0.25 + 0.5 if _fake_trans() else jax.nn.sigmoid(x)
+
+
+def _tanh(x):
+    return x * 0.5 if _fake_trans() else jnp.tanh(x)
+
+
 def _lstm_cell_bwd(dh_ref, pre_ref, c_ref, cprev_ref, dh_carry, dc_carry,
                    k, H):
     """One LSTM step's gate gradients (shared by the bwd kernel
     variants).  Returns (dpre [B, 4H] f32, dc [B, H] f32)."""
     pre = pre_ref[k].astype(jnp.float32)
-    i = jax.nn.sigmoid(pre[:, :H])
-    f = jax.nn.sigmoid(pre[:, H:2 * H])
-    g = jnp.tanh(pre[:, 2 * H:3 * H])
-    o = jax.nn.sigmoid(pre[:, 3 * H:])
-    tc = jnp.tanh(c_ref[k].astype(jnp.float32))
+    i = _sig(pre[:, :H])
+    f = _sig(pre[:, H:2 * H])
+    g = _tanh(pre[:, 2 * H:3 * H])
+    o = _sig(pre[:, 3 * H:])
+    tc = _tanh(c_ref[k].astype(jnp.float32))
     dh = dh_ref[k] + dh_carry[:]
     do = dh * tc
     dc = dh * o * (1.0 - tc * tc) + dc_carry[:]
