@@ -29,6 +29,7 @@ VARIANT_ENVS = {
     "bt4": {"TAIYAKI_TPU_RNN_BLOCK_T": "4"},
     "stepwgrad": {"TAIYAKI_TPU_STEP_WGRAD": "1"},
     "faketrans": {"TAIYAKI_TPU_FAKE_TRANS": "1"},
+    "noacts": {"TAIYAKI_TPU_ACTS_BWD": "0"},
     "bb128bt4": {"TAIYAKI_TPU_RNN_BLOCK_B": "128",
                  "TAIYAKI_TPU_RNN_BLOCK_T": "4"},
     "bb128bt8": {"TAIYAKI_TPU_RNN_BLOCK_B": "128",

@@ -52,7 +52,10 @@ def run(cell, B, T=96, H=128, D=64):
         out = {}
         for variant, env in [
                 ("scan", {"TAIYAKI_TPU_NO_PALLAS": "1"}),
-                ("stored", {"TAIYAKI_TPU_NO_RECOMPUTE": "1"}),
+                ("acts", {"TAIYAKI_TPU_NO_RECOMPUTE": "1",
+                          "TAIYAKI_TPU_ACTS_BWD": "1"}),
+                ("stored", {"TAIYAKI_TPU_NO_RECOMPUTE": "1",
+                            "TAIYAKI_TPU_ACTS_BWD": "0"}),
                 ("recompute", {"TAIYAKI_TPU_RECOMPUTE": "1"})]:
             saved = {kk: os.environ.get(kk) for kk in env}
             os.environ.update(env)
@@ -67,14 +70,17 @@ def run(cell, B, T=96, H=128, D=64):
                     else:
                         os.environ[kk] = vv
         names = ["d_x", "d_iW", "d_b", "d_sW"]
-        for variant in ("stored", "recompute"):
+        for variant in ("acts", "stored", "recompute"):
             # the stored GRU path's gx/gh residuals are bf16 by design
             # (ops/rnn.py hardcodes residual_dtype), and the rounding
             # compounds through the recurrent chain (measured 5.2e-2 at
             # rev=1; 7e-3 when the same kernel is fed f32 streams, so
             # this is stream rounding, not a lowering bug).  Recompute
             # rebuilds the gates in f32 and gets the tighter bound.
-            tol = 8e-2 if (cell == "gru" and variant == "stored") else 2e-2
+            # (for the GRU, ACTS_BWD is a no-op: "acts" hits the same
+            # stored path and needs the same loose bound)
+            tol = (8e-2 if (cell == "gru"
+                            and variant in ("stored", "acts")) else 2e-2)
             for name, got, want in zip(names, out[variant], out["scan"]):
                 scale = np.abs(want).max() + 1e-6
                 err = np.abs(np.asarray(got).reshape(want.shape)

@@ -314,6 +314,128 @@ def _lstm_bwd_fusedw_kernel(dh_ref, pre_ref, c_ref, cprev_ref, h_ref, x_ref,
     run_steps(body, block_t, unroll)
 
 
+def _lstm_cell_bwd_acts(dh_ref, acts_ref, tc_ref, cprev_ref,
+                        dh_carry, dc_carry, k, H):
+    """One LSTM step's gate gradients from STORED post-activation gates
+    and tanh(c) — zero transcendentals (vs five in _lstm_cell_bwd; a
+    timing probe bounded their cost at 3.9% of the train step).
+    Returns (dpre [B, 4H] f32, dc [B, H] f32)."""
+    acts = acts_ref[k].astype(jnp.float32)
+    i = acts[:, :H]
+    f = acts[:, H:2 * H]
+    g = acts[:, 2 * H:3 * H]
+    o = acts[:, 3 * H:]
+    tc = tc_ref[k].astype(jnp.float32)
+    dh = dh_ref[k] + dh_carry[:]
+    do = dh * tc
+    dc = dh * o * (1.0 - tc * tc) + dc_carry[:]
+    di = dc * g
+    df = dc * cprev_ref[k].astype(jnp.float32)
+    dg = dc * i
+    dpre = jnp.concatenate(
+        [di * i * (1.0 - i), df * f * (1.0 - f),
+         dg * (1.0 - g * g), do * o * (1.0 - o)], axis=1)
+    return dpre, dc * f
+
+
+def _lstm_bwd_acts_kernel(dh_ref, acts_ref, tc_ref, cprev_ref, h_ref,
+                          x_ref, sw_ref, iwt_ref,
+                          dx_ref, dsw_ref, diw_ref, db_ref,
+                          dh_carry, dc_carry, g_hold,
+                          *, block_t, H, T, ngrid, descending, order,
+                          unroll=False):
+    """_lstm_bwd_fusedw_kernel with the stored-activation cell backward:
+    identical structure (held-gate-gradient d_sW pairing, per-step
+    weight-grad accumulation), no transcendentals in the loop."""
+    @pl.when(pl.program_id(_TIME_DIM) == 0)
+    def _():
+        dh_carry[:] = jnp.zeros_like(dh_carry)
+        dc_carry[:] = jnp.zeros_like(dc_carry)
+        g_hold[:] = jnp.zeros_like(g_hold)
+        dsw_ref[:] = jnp.zeros_like(dsw_ref)
+        diw_ref[:] = jnp.zeros_like(diw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    base = _block_base(ngrid, block_t, descending)
+
+    def body(j, _):
+        k = order(j)
+        dpre, dc_next = _lstm_cell_bwd_acts(dh_ref, acts_ref, tc_ref,
+                                            cprev_ref, dh_carry, dc_carry,
+                                            k, H)
+        dpre = jnp.where(base + k < T, dpre, 0.0)
+        dx = jnp.dot(dpre, iwt_ref[:], preferred_element_type=jnp.float32)
+        dx_ref[k] = dx.astype(dx_ref.dtype)
+        dsw_ref[0] += jax.lax.dot_general(
+            g_hold[:], h_ref[k].astype(jnp.float32), _BATCH_CONTRACT,
+            preferred_element_type=jnp.float32)
+        diw_ref[0] += jax.lax.dot_general(
+            dpre, x_ref[k].astype(jnp.float32), _BATCH_CONTRACT,
+            preferred_element_type=jnp.float32)
+        db_ref[0] += jnp.sum(dpre, axis=0, keepdims=True)
+        g_hold[:] = dpre
+        dh_carry[:] = jnp.dot(dpre, sw_ref[:],
+                              preferred_element_type=jnp.float32)
+        dc_carry[:] = dc_next
+        return 0
+
+    run_steps(body, block_t, unroll)
+
+
+def lstm_bwd_acts(dh_out, acts, tc, c_prev, h, x, sW, iW,
+                  block_t=DEFAULT_BLOCK_T, interpret=False, reverse=False,
+                  dx_dtype=None, true_len=None, unroll=False):
+    """Fused LSTM backward from stored activations (acts = [i|f|g|o]
+    post-nonlinearity, tc = tanh(c)) — same outputs/partials contract
+    as lstm_bwd_fusedw."""
+    T, B, H = dh_out.shape
+    H4 = 4 * H
+    D = iW.shape[1]
+    assert T % block_t == 0
+    ngrid = T // block_t
+    bb = block_b_for(B)
+    nb = B // bb
+    descending = not reverse
+    imap, order = _time_maps(ngrid, block_t, descending=descending)
+    wmap3 = lambda ib, it: (ib, 0, 0)
+    stream = lambda w: pl.BlockSpec((block_t, bb, w), imap,
+                                    memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _lstm_bwd_acts_kernel, block_t=block_t, H=H,
+        T=(T if true_len is None else true_len), ngrid=ngrid,
+        descending=descending, order=order, unroll=unroll)
+    dx, dsw, diw, db = pl.pallas_call(
+        kernel,
+        grid=(nb, ngrid),
+        in_specs=[
+            stream(H), stream(H4), stream(H), stream(H), stream(H),
+            stream(D),
+            pl.BlockSpec((H4, H), _WMAP, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H4, D), _WMAP, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_t, bb, D), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H4, H), wmap3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H4, D), wmap3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H4), lambda ib, it: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, D), dx_dtype or jnp.float32),
+            jax.ShapeDtypeStruct((nb, H4, H), jnp.float32),
+            jax.ShapeDtypeStruct((nb, H4, D), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, H4), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bb, H), jnp.float32),
+            pltpu.VMEM((bb, H), jnp.float32),
+            pltpu.VMEM((bb, H4), jnp.float32),
+        ],
+        interpret=interpret,
+    )(dh_out, acts, tc, c_prev, h, x, sW, iW)
+    return dx, dsw, diw, db[:, 0]
+
+
 def _shifted_prev_block(ref, prevblk_ref, base, T, descending):
     """The whole block of prev-states, vectorized over in-block rows:
     row k holds the state ENTERING that row's step (see _prev_at) —
@@ -705,14 +827,16 @@ def _block_base(ngrid, block_t, descending):
 
 
 def _lstm_fused_fwd_kernel(x_ref, iwt_ref, b_ref, swt_ref,
-                           h_ref, c_ref, *maybe_pre_and_scratch,
+                           h_ref, c_ref, *rest,
                            block_t, H, T, ngrid, descending, order,
-                           precision, emit_pre=True, unroll=False):
-    if emit_pre:
-        pre_ref, h_carry, c_carry, gx_scratch = maybe_pre_and_scratch
+                           precision, emit="pre", unroll=False):
+    pre_ref = acts_ref = tc_ref = None
+    if emit == "pre":
+        pre_ref, h_carry, c_carry, gx_scratch = rest
+    elif emit == "acts":
+        acts_ref, tc_ref, h_carry, c_carry, gx_scratch = rest
     else:
-        h_carry, c_carry, gx_scratch = maybe_pre_and_scratch
-        pre_ref = None
+        h_carry, c_carry, gx_scratch = rest
     @pl.when(pl.program_id(_TIME_DIM) == 0)
     def _():
         h_carry[:] = jnp.zeros_like(h_carry)
@@ -733,11 +857,19 @@ def _lstm_fused_fwd_kernel(x_ref, iwt_ref, b_ref, swt_ref,
         g = jnp.tanh(pre[:, 2 * H:3 * H])
         o = jax.nn.sigmoid(pre[:, 3 * H:])
         c2 = f * c + i * g
-        h2 = o * jnp.tanh(c2)
+        tc2 = jnp.tanh(c2)
+        h2 = o * tc2
         h_ref[k] = h2.astype(h_ref.dtype)
         c_ref[k] = c2.astype(c_ref.dtype)
         if pre_ref is not None:
             pre_ref[k] = pre.astype(pre_ref.dtype)
+        if acts_ref is not None:
+            # post-activation gates + tanh(c): the backward residuals
+            # of the transcendental-free backward (tc2 is free here —
+            # the forward computes it anyway for h2)
+            acts_ref[k] = jnp.concatenate([i, f, g, o],
+                                          axis=1).astype(acts_ref.dtype)
+            tc_ref[k] = tc2.astype(tc_ref.dtype)
         h_carry[:] = h2
         c_carry[:] = c2
         return 0
@@ -747,7 +879,7 @@ def _lstm_fused_fwd_kernel(x_ref, iwt_ref, b_ref, swt_ref,
 
 def lstm_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
                    residual_dtype=None, reverse=False, true_len=None,
-                   h_dtype=None, precision=None, emit_pre=True,
+                   h_dtype=None, precision=None, emit="pre",
                    unroll=False):
     """Fused gates+time LSTM forward.
 
@@ -779,7 +911,7 @@ def lstm_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
         _lstm_fused_fwd_kernel, block_t=block_t, H=H,
         T=(Tp if true_len is None else true_len), ngrid=ngrid,
         descending=reverse, order=order, precision=precision,
-        emit_pre=emit_pre, unroll=unroll)
+        emit=emit, unroll=unroll)
     out_specs = [
         pl.BlockSpec((block_t, bb, H), imap, memory_space=pltpu.VMEM),
         pl.BlockSpec((block_t, bb, H), imap, memory_space=pltpu.VMEM),
@@ -788,10 +920,19 @@ def lstm_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
         jax.ShapeDtypeStruct((Tp, B, H), h_dtype or jnp.float32),
         jax.ShapeDtypeStruct((Tp, B, H), res_dt),
     ]
-    if emit_pre:
+    if emit == "pre":
         out_specs.append(pl.BlockSpec((block_t, bb, H4), imap,
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((Tp, B, H4), res_dt))
+    elif emit == "acts":
+        out_specs += [
+            pl.BlockSpec((block_t, bb, H4), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, bb, H), imap, memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((Tp, B, H4), res_dt),
+            jax.ShapeDtypeStruct((Tp, B, H), res_dt),
+        ]
     return pl.pallas_call(
         kernel,
         grid=(nb, ngrid),

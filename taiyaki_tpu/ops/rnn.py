@@ -107,6 +107,17 @@ def _recompute_pre(cell):
     return cell == "gru"
 
 
+def _acts_bwd():
+    """LSTM layer backward consumes STORED post-activation gates +
+    tanh(c) instead of recomputing the nonlinearities from the stored
+    pre residual: zero transcendentals in the backward loop (a timing
+    probe bounded their cost at +3.9% of the step), for one extra
+    [T,B,H] forward stream (tanh(c), computed by the forward anyway).
+    TAIYAKI_TPU_ACTS_BWD=0 restores the stored-pre path (trace-time
+    constant).  Measured on v5e at bs256: see docs/performance.md."""
+    return os.environ.get("TAIYAKI_TPU_ACTS_BWD", "1") == "1"
+
+
 def _gate_stream_dtype():
     """Storage dtype for the input-gate stream gx fed to the forward
     kernels (and kept as the GRU backward residual).  bfloat16 halves the
@@ -340,7 +351,7 @@ def _make_lstm_layer(reverse):
                 _pad_time(x, bt), iW, b, sW, block_t=bt,
                 residual_dtype=jnp.bfloat16, reverse=reverse, true_len=T,
                 h_dtype=_act_stream_dtype(), precision=_mm_precision(),
-                emit_pre=False, unroll=True)
+                emit=None, unroll=True)
             return out[0][:T]
         h, _ = _lstm_fwd_core(x @ iW.T + b, sW, reverse)
         return h
@@ -355,9 +366,18 @@ def _make_lstm_layer(reverse):
                     _pad_time(x, bt), iW, b, sW, block_t=bt,
                     residual_dtype=jnp.bfloat16, reverse=reverse,
                     true_len=T, h_dtype=_act_stream_dtype(),
-                    precision=_mm_precision(), emit_pre=False,
+                    precision=_mm_precision(), emit=None,
                     unroll=True)
                 return h[:T], (x, h[:T], c[:T], None, iW, sW, b)
+            if _acts_bwd():
+                h, c, acts, tc = pallas_rnn.lstm_fused_fwd(
+                    _pad_time(x, bt), iW, b, sW, block_t=bt,
+                    residual_dtype=jnp.bfloat16, reverse=reverse,
+                    true_len=T, h_dtype=_act_stream_dtype(),
+                    precision=_mm_precision(), emit="acts",
+                    unroll=True)
+                return h[:T], (x, h[:T], c[:T],
+                               (acts[:T], tc[:T]), iW, sW, b)
             h, c, pre = pallas_rnn.lstm_fused_fwd(
                 _pad_time(x, bt), iW, b, sW, block_t=bt,
                 residual_dtype=jnp.bfloat16, reverse=reverse,
@@ -369,6 +389,23 @@ def _make_lstm_layer(reverse):
 
     def bwd(res, dh_out):
         x, h, c, pre, iW, sW, b = res
+        if (_use_pallas(dh_out.shape[1]) and not _recompute_pre("lstm")
+                and _acts_bwd()):
+            # transcendental-free backward from stored activations
+            acts, tc = pre
+            from taiyaki_tpu.ops import pallas_rnn
+            T = x.shape[0]
+            bt = pallas_rnn.block_t_for(dh_out.shape[1])
+            gdt = _grad_stream_dtype()
+            c_prev = _prev_state(c, reverse)
+            d_x, dsw, diw, db = pallas_rnn.lstm_bwd_acts(
+                _pad_time(dh_out.astype(gdt or dh_out.dtype), bt),
+                _pad_time(acts, bt), _pad_time(tc, bt),
+                _pad_time(c_prev, bt), _pad_time(h, bt),
+                _pad_time(x, bt), sW, iW, block_t=bt, reverse=reverse,
+                dx_dtype=x.dtype, true_len=T, unroll=True)
+            return (d_x[:T], jnp.sum(diw, 0).astype(iW.dtype),
+                    jnp.sum(db, 0), jnp.sum(dsw, 0).astype(sW.dtype))
         if _use_pallas(dh_out.shape[1]) and _recompute_pre("lstm"):
             from taiyaki_tpu.ops import pallas_rnn
             T = x.shape[0]

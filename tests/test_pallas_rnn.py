@@ -572,3 +572,75 @@ def test_gru_fused_fwd_no_residuals_matches():
         assert len(bare) == 1
         np.testing.assert_array_equal(np.asarray(full[0]),
                                       np.asarray(bare[0]))
+
+
+def test_lstm_bwd_acts_matches_vjp():
+    """The transcendental-free backward (stored post-activation gates +
+    tanh(c)) must reproduce the lax.scan VJP — both directions,
+    multi-tile batch, time padding active."""
+    for reverse in (False, True):
+        rng = np.random.default_rng(58)
+        T, B, H, D = 19, 24, 16, 12
+        x = jnp.asarray(rng.normal(size=(T, B, D)).astype(np.float32))
+        iW = jnp.asarray(rng.normal(size=(4 * H, D)).astype(np.float32) * .3)
+        b = jnp.asarray(rng.normal(size=(4 * H,)).astype(np.float32) * .3)
+        sW = jnp.asarray(rng.normal(size=(4 * H, H)).astype(np.float32) * .3)
+        dh = jnp.asarray(rng.normal(size=(T, B, H)).astype(np.float32))
+
+        def ref_fn(x, iW, b, sW):
+            return rnn._lstm_fwd_core(x @ iW.T + b, sW, reverse)[0]
+
+        _, vjp = jax.vjp(ref_fn, x, iW, b, sW)
+        dx_ref, diw_ref, db_ref, dsw_ref = vjp(dh)
+
+        h, (_, c, pre, _) = rnn._lstm_fwd_core(x @ iW.T + b, sW, reverse)
+        i = jax.nn.sigmoid(pre[:, :, :H])
+        f = jax.nn.sigmoid(pre[:, :, H:2 * H])
+        g = jnp.tanh(pre[:, :, 2 * H:3 * H])
+        o = jax.nn.sigmoid(pre[:, :, 3 * H:])
+        acts = jnp.concatenate([i, f, g, o], axis=2)
+        tc = jnp.tanh(c)
+        c_prev = rnn._prev_state(c, reverse)
+
+        def pad(a):
+            return rnn._pad_time(a, 8)
+
+        dx, dsw, diw, db = pallas_rnn.lstm_bwd_acts(
+            pad(dh), pad(acts), pad(tc), pad(c_prev), pad(h), pad(x),
+            sW, iW, block_t=8, reverse=reverse, true_len=T,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(dx[:T]), np.asarray(dx_ref),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dsw.sum(0)),
+                                   np.asarray(dsw_ref), rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(diw.sum(0)),
+                                   np.asarray(diw_ref), rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(db.sum(0)),
+                                   np.asarray(db_ref), rtol=1e-4,
+                                   atol=1e-4)
+
+
+def test_lstm_fused_fwd_emit_acts_consistent():
+    """emit='acts' must return the same h/c as emit='pre', with acts =
+    the gate nonlinearities of pre and tc = tanh(c)."""
+    rng = np.random.default_rng(59)
+    T, B, H, D = 16, 16, 12, 8
+    x = jnp.asarray(rng.normal(size=(T, B, D)).astype(np.float32))
+    iW = jnp.asarray(rng.normal(size=(4 * H, D)).astype(np.float32) * .3)
+    b = jnp.asarray(rng.normal(size=(4 * H,)).astype(np.float32) * .3)
+    sW = jnp.asarray(rng.normal(size=(4 * H, H)).astype(np.float32) * .3)
+    h1, c1, pre = pallas_rnn.lstm_fused_fwd(x, iW, b, sW, block_t=8,
+                                            interpret=True)
+    h2, c2, acts, tc = pallas_rnn.lstm_fused_fwd(x, iW, b, sW, block_t=8,
+                                                 emit="acts",
+                                                 interpret=True)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_allclose(
+        np.asarray(acts[:, :, :H]),
+        np.asarray(jax.nn.sigmoid(pre[:, :, :H])), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tc),
+                               np.asarray(jnp.tanh(c1)), rtol=1e-6,
+                               atol=1e-6)
