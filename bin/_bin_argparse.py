@@ -18,13 +18,13 @@ def get_train_flipflop_parser():
     mdl_grp = parser.add_argument_group('Model Arguments')
     mdl_grp.add_argument(
         '--size', default=384, metavar='neurons', type=Positive(int),
-        help='Base layer size for model')
+        help='Width (hidden units) of the recurrent layers')
     mdl_grp.add_argument(
         '--stride', default=5, metavar='samples', type=Positive(int),
-        help='Stride for model')
+        help='Downsampling stride of the convolution front end')
     mdl_grp.add_argument(
         '--winlen', default=19, type=Positive(int),
-        help='Length of window over data')
+        help='Convolution front-end window width in samples')
 
     trn_grp = parser.add_argument_group('Training Arguments')
     trn_grp.add_argument(
@@ -44,18 +44,19 @@ def get_train_flipflop_parser():
     trn_grp.add_argument(
         '--gradient_clip_num_mads', default=0, metavar='num_MADs',
         type=Maybe(NonNegative(float)),
-        help='Clip gradients (by value) at num_MADs above the median of '
-             'the last 1000 parameter gradient maximums. Use '
-             '"--gradient_clip_num_mads None" for no clipping.')
+        help='Value-clip gradients at this many MADs above the running '
+             'median of recent (last 1000) per-step gradient maxima; pass '
+             '"None" to disable clipping.')
     trn_grp.add_argument(
         '--lr_max', default=4.0e-3, metavar='rate', type=Positive(float),
-        help='Max learning rate, reached at --warmup_batches iterations.')
+        help='Peak learning rate, hit at the end of the warmup ramp '
+             '(--warmup_batches steps).')
     trn_grp.add_argument(
         '--lr_min', default=1.0e-4, metavar='rate', type=Positive(float),
-        help='Min (starting and final) learning rate')
+        help='Learning-rate floor; the schedule starts and ends here')
     trn_grp.add_argument(
         '--seed', default=None, metavar='integer', type=Positive(int),
-        help='Set random number seed')
+        help='Seed for all RNGs (parameter init and data order)')
     trn_grp.add_argument(
         '--sharpen', default=(1.0, 1.0, 25000), nargs=3,
         metavar=('min', 'max', 'niter'), action=ParseToNamedTuple,
@@ -64,13 +65,15 @@ def get_train_flipflop_parser():
              '"niter" iterations')
     trn_grp.add_argument(
         '--warmup_batches', type=int, default=200,
-        help='Over first n batches, increase learning rate like cosine.')
+        help='Warmup length: ramp the learning rate up over the first n '
+             'optimizer steps (cosine-shaped ramp).')
     trn_grp.add_argument(
         '--lr_warmup', metavar='rate', type=Positive(float),
-        help='Start learning rate for warmup. Defaults to lr_min.')
+        help='Learning rate at the very start of warmup (default: lr_min)')
     trn_grp.add_argument(
         '--min_momentum', type=Positive(float),
-        help='Min momentum in cycling. default = Adam beta1, no cycling')
+        help='Lower bound for momentum cycling; omit to keep momentum '
+             'fixed at Adam beta1')
 
     data_grp = parser.add_argument_group('Data Arguments')
     data_grp.add_argument(
@@ -86,12 +89,14 @@ def get_train_flipflop_parser():
     data_grp.add_argument(
         '--filter_min_pass_fraction', default=0.5, metavar='fraction',
         type=Maybe(Positive(float)),
-        help='Halt if fraction of chunks passing tests is less than this')
+        help='Abort the run when the chunk-filter pass rate falls below '
+             'this fraction')
     data_grp.add_argument(
         '--filter_path_buffer', default=1.1, metavar='ratio',
         type=Bounded(float, lower=1.0, upper=float('inf')),
-        help='Drop chunks with small ratio of signal length to bases * '
-             'model stride. Must be greater than 1.0.')
+        help='Reject a chunk unless its signal length exceeds '
+             '(bases * stride * this ratio); must be > 1.0 so a valid '
+             'flip-flop path exists')
     data_grp.add_argument(
         '--limit', default=None, type=Maybe(Positive(int)),
         help='Use at most this many reads from the input')
@@ -106,13 +111,12 @@ def get_train_flipflop_parser():
     data_grp.add_argument(
         '--chunk_len_min', default=3000, metavar='samples',
         type=Positive(int),
-        help='Min length of each chunk in samples (chunk lengths are '
-             'random between min and max)')
+        help='Shortest chunk length to sample, in signal samples')
     data_grp.add_argument(
         '--chunk_len_max', default=8000, metavar='samples',
         type=Positive(int),
-        help='Max length of each chunk in samples (chunk lengths are '
-             'random between min and max)')
+        help='Longest chunk length to sample, in signal samples (each '
+             'batch draws one length between the min and max)')
     data_grp.add_argument(
         '--chunk_len_buckets', default=8, metavar='n', type=Positive(int),
         help='(TPU) Number of distinct chunk lengths sampled from '
@@ -125,36 +129,39 @@ def get_train_flipflop_parser():
              'under --multihost (bucket choice is per-host data-dependent).')
     data_grp.add_argument(
         '--include_reporting_strands', default=False, action=AutoBool,
-        help='Include reporting strands in training. Default: Hold '
-             'training strands out of training.')
+        help='Train on the validation (reporting) reads too, instead of '
+             'holding them out')
     data_grp.add_argument(
         '--input_strand_list', default=None, action=FileExists,
-        help='Strand summary file containing column read_id. Filenames in '
-             'file are ignored.')
+        help='Restrict training to the read_id column of this TSV '
+             '(any filename columns present are not used)')
     data_grp.add_argument(
         '--min_sub_batch_size', default=128, metavar='chunks',
         type=Positive(int),
-        help='Number of chunks to run in parallel per sub-batch for '
-             'chunk_len = chunk_len_max. Actual length of sub-batch used '
-             'is (min_sub_batch_size * chunk_len_max / chunk_len).')
+        help='Chunks per sub-batch at the longest chunk length; shorter '
+             'chunk lengths scale the sub-batch up proportionally '
+             '(min_sub_batch_size * chunk_len_max / chunk_len) so each '
+             'sub-batch holds a roughly constant number of samples.')
     data_grp.add_argument(
         '--reporting_percent_reads', default=1, metavar='sub_batches',
         type=Positive(float),
-        help='Percent of reads to use for std loss reporting')
+        help='Percentage of reads held out as the validation set')
     data_grp.add_argument(
         '--reporting_strand_list', action=FileExists,
-        help='Strand summary file containing column read_id. If not '
-             'provided reporting strands will be randomly selected.')
+        help='TSV whose read_id column names the validation reads; '
+             'chosen at random when omitted.')
     data_grp.add_argument(
         '--reporting_sub_batches', default=100, metavar='sub_batches',
         type=Positive(int),
-        help='Number of sub-batches to use for std loss reporting')
+        help='How many sub-batches to evaluate for the validation loss')
     data_grp.add_argument(
         '--standardize', default=True, action=AutoBool,
-        help='Standardize currents for each read')
+        help='Normalize each read\'s current (zero median, unit MAD) '
+             'before chunking')
     data_grp.add_argument(
         '--sub_batches', default=1, metavar='sub_batches',
-        type=Positive(int), help='Number of sub-batches per batch')
+        type=Positive(int),
+        help='Sub-batches accumulated into each optimizer step')
 
     cmp_grp = parser.add_argument_group('Compute Arguments')
     cmp_grp.add_argument(
@@ -174,8 +181,8 @@ def get_train_flipflop_parser():
     out_grp = parser.add_argument_group('Output Arguments')
     out_grp.add_argument(
         '--full_filter_status', default=False, action=AutoBool,
-        help='Output full chunk filtering statistics. Default: only '
-             'proportion of filtered chunks.')
+        help='Log per-criterion chunk rejection counts rather than just '
+             'the overall rejected fraction')
     out_grp.add_argument(
         '--outdir', default='training',
         help='Directory for logs and checkpoints (created on startup)')
@@ -203,11 +210,11 @@ def get_train_flipflop_parser():
              'iterations')
     mod_grp.add_argument(
         '--mod_prior_factor', type=float,
-        help='Exponential factor applied to prior mod weights estimated '
-             'from training data. Default: no mod prior')
+        help='Raise the data-estimated mod-base prior weights to this '
+             'power; omit for no prior reweighting')
     mod_grp.add_argument(
         '--num_mod_weight_reads', type=int, default=5000,
-        help='Number of reads to sample to compute the modified base prior '
+        help='Sample size (reads) for estimating the modified-base prior '
              'weights from the training data.')
 
     misc_grp = parser.add_argument_group('Miscellaneous Arguments')
@@ -217,8 +224,9 @@ def get_train_flipflop_parser():
 
     parser.add_argument(
         'model', action=FileExists,
-        help='File to read python model (or checkpoint) from')
+        help='Model definition (.py) or checkpoint file to start from')
     parser.add_argument(
-        'input', action=FileExists, help='file containing mapped reads')
+        'input', action=FileExists,
+        help='mapped-signal HDF5 file with the training reads')
 
     return parser

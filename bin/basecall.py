@@ -36,7 +36,7 @@ def get_parser():
     parser.add_argument(
         "--beam", default=None, metavar=("width", "guided"), nargs=2,
         type=(int, bool), action=ParseToNamedTuple,
-        help="Use beam search decoding")
+        help="Decode with the prefix beam search instead of Viterbi")
     parser.add_argument(
         "--chunk_size", type=Positive(int), metavar="blocks",
         default=basecall_helpers.DEFAULT_CHUNK_SIZE,
@@ -44,7 +44,7 @@ def get_parser():
              "stride")
     parser.add_argument(
         "--fastq", default=False, action=AutoBool,
-        help="Write output in fastq format (default is fasta)")
+        help="Emit fastq with per-base q scores rather than fasta")
     parser.add_argument(
         "--max_concurrent_chunks", type=Positive(int), default=128,
         help="Maximum number of chunks to call at once")
@@ -59,29 +59,29 @@ def get_parser():
         help="Overlap between signal chunks sent to device")
     parser.add_argument(
         "--posterior", default=True, action=AutoBool,
-        help="Use posterior-viterbi decoding")
+        help="Decode by Viterbi over posteriors rather than transition scores")
     parser.add_argument(
         "--qscore_offset", type=float, default=0.0,
-        help="Offset to apply to q scores in fastq (after scale)")
+        help="Additive q-score adjustment, applied after scaling (fastq)")
     parser.add_argument(
         "--qscore_scale", type=float, default=1.0,
-        help="Scaling factor to apply to q scores in fastq")
+        help="Multiplicative q-score calibration factor (fastq)")
     parser.add_argument(
         "--reverse", default=False, action=AutoBool,
-        help="Reverse sequences in output")
+        help="Emit called sequences reversed (RNA 3p->5p order)")
     parser.add_argument(
         "--scaling", action=FileExists, default=None,
-        help="Path to TSV containing per-read scaling params")
+        help="TSV of per-read current scaling parameters")
     parser.add_argument(
         "--temperature", default=1.0, type=float,
-        help="Scaling factor applied to network outputs before decoding")
+        help="Multiply network outputs by this factor before decoding")
     parser.add_argument(
         "--modified_base_output", default=None,
         help="HDF5 file for modified-base scores (cat_mod models only); "
              "implements the documented format the reference never did")
     parser.add_argument(
         "model", action=FileExists,
-        help="Model checkpoint file to use for basecalling")
+        help="Checkpoint holding the trained network to call with")
     return parser
 
 

@@ -22,7 +22,7 @@ def get_parser():
         description="Dump JSON representation of model",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     add_common_command_args(parser, ["output"])
-    parser.add_argument("model", action=FileExists, help="Model checkpoint")
+    parser.add_argument("model", action=FileExists, help="Checkpoint file to export")
     return parser
 
 

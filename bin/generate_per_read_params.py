@@ -29,7 +29,7 @@ def get_parser():
     parser.add_argument(
         "--trim", default=(200, 50), nargs=2, type=NonNegative(int),
         metavar=("beginning", "end"),
-        help="Number of samples to trim off start and end")
+        help="Samples to discard at the read start and end")
     return parser
 
 

@@ -27,27 +27,27 @@ def get_parser():
     add_common_command_args(parser, ["output"])
     parser.add_argument(
         "--complement", default=False, action=AutoBool,
-        help="Complement all reference sequences")
+        help="Emit the complement of every reference sequence")
     parser.add_argument(
         "--input_strand_list", default=None, action=FileExists,
-        help="Strand summary file containing subset")
+        help="TSV (read_id column) restricting which reads are used")
     parser.add_argument(
         "--min_coverage", metavar="proportion", default=0.6,
         type=proportion,
-        help="Ignore reads with alignments shorter than min_coverage * "
+        help="Skip reads whose alignment covers less than min_coverage * "
              "read length")
     parser.add_argument(
         "--pad", type=int, default=0,
-        help="Number of bases by which to pad reference sequence")
+        help="Extra flanking bases to keep on each side of the alignment")
     parser.add_argument(
         "--reverse", default=False, action=AutoBool,
-        help="Reverse all reference sequences (for RNA)")
+        help="Emit reference sequences reversed (RNA)")
     parser.add_argument(
         "reference", action=FileExists,
-        help="Genomic references that reads were aligned against")
+        help="Fasta of the genome the alignments refer to")
     parser.add_argument(
         "input", metavar="input.sam", nargs="+",
-        help="SAM or BAM file(s) containing read alignments to reference")
+        help="Alignment file(s) (SAM/BAM) of the reads against the genome")
     return parser
 
 

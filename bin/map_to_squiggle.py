@@ -25,25 +25,25 @@ def get_parser():
                             "limit jobs output recursive version".split())
     parser.add_argument(
         "--back_prob", default=1e-15, metavar="probability",
-        type=proportion, help="Probability of backwards move")
+        type=proportion, help="Chance of a backward step in the alignment")
     parser.add_argument(
         "--input_strand_list", default=None, action=FileExists,
-        help="Strand summary file containing subset")
+        help="TSV (read_id column) restricting which reads are used")
     parser.add_argument(
         "--localpen", default=None, type=Maybe(NonNegative(float)),
-        help="Penalty for staying in start and end states, or None to "
+        help="Cost of dwelling in the flanking start/end states; None to "
              "disable them")
     parser.add_argument(
         "--minscore", default=None, type=Maybe(NonNegative(float)),
-        help="Minimum score for matching")
+        help="Score floor for accepting a match")
     parser.add_argument(
         "--trim", default=(200, 10), nargs=2, type=NonNegative(int),
         metavar=("beginning", "end"),
-        help="Number of samples to trim off start and end")
-    parser.add_argument("model", action=FileExists, help="Model file")
-    parser.add_argument("references", action=FileExists, help="Fasta file")
+        help="Samples to discard at the read start and end")
+    parser.add_argument("model", action=FileExists, help="Squiggle-model checkpoint")
+    parser.add_argument("references", action=FileExists, help="Fasta of sequences to map against")
     parser.add_argument("read_dir", action=FileExists,
-                        help="Directory for fast5 reads")
+                        help="Directory of fast5 read files")
     return parser
 
 

@@ -20,8 +20,8 @@ def get_parser():
         description="Predict squiggle from sequence",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     add_common_command_args(parser, "output version".split())
-    parser.add_argument("model", action=FileExists, help="Model file")
-    parser.add_argument("input", action=FileExists, help="Fasta file")
+    parser.add_argument("model", action=FileExists, help="Squiggle-model checkpoint")
+    parser.add_argument("input", action=FileExists, help="Fasta of sequences to predict from")
     return parser
 
 

@@ -26,27 +26,27 @@ def get_parser():
                  "overwrite recursive version").split())
     parser.add_argument(
         "--localpen", metavar="penalty", default=0.0, type=float,
-        help="Penalty for local mapping")
+        help="Score cost for clipped (local) remapping")
     parser.add_argument(
         "--max_read_length", metavar="bases", default=None, type=Maybe(int),
         help="Don't attempt remapping for reads longer than this")
     parser.add_argument(
         "--mod", nargs=3,
         metavar=("mod_base", "canonical_base", "mod_long_name"),
-        default=[], action="append", help="Modified base description")
+        default=[], action="append", help="Modified-base definition (mod, canonical base, long name)")
     parser.add_argument(
         "--batch_format", action="store_true",
         help="Output batched mapped signal file format (better I/O "
              "performance and less disk space).")
     parser.add_argument(
         "input_per_read_params", action=FileExists,
-        help="Input per read parameter .tsv file")
-    parser.add_argument("output", help="Output HDF5 file")
+        help="Per-read parameter TSV (from generate_per_read_params.py)")
+    parser.add_argument("output", help="Destination mapped-signal HDF5 file")
     parser.add_argument("model", action=FileExists,
                         help="Model file (.checkpoint or .py)")
     parser.add_argument(
         "references", action=FileExists,
-        help="Single fasta file containing references for each read")
+        help="Fasta with one ground-truth reference per read id")
     return parser
 
 

@@ -28,33 +28,33 @@ def get_parser():
         overwrite quiet save_every version weight_decay""".split())
     parser.add_argument(
         "--batch_size", default=128, metavar="chunks", type=Positive(int),
-        help="Number of chunks to run in parallel")
+        help="Chunks per training batch")
     parser.add_argument(
         "--gradient_cap_fraction", default=0.05, metavar="f",
         type=Maybe(NonNegative(float)),
-        help="Cap L2 norm of gradient so that a fraction f of gradients "
+        help="Bound the gradient L2 norm so that a fraction f of steps "
              "are capped. Use None for no capping.")
     parser.add_argument(
         "--lr_max", default=4.0e-3, metavar="rate", type=Positive(float),
-        help="Initial learning rate")
+        help="Learning rate at step 0")
     parser.add_argument(
         "--size", default=96, metavar="neurons", type=Positive(int),
-        help="Base layer size for model")
+        help="Width (hidden units) of the network layers")
     parser.add_argument(
         "--seed", default=None, metavar="integer", type=Positive(int),
-        help="Set random number seed")
+        help="Seed for all RNGs (parameter init and data order)")
     parser.add_argument(
         "--stride", default=2, metavar="samples", type=Positive(int),
-        help="Stride for model")
+        help="Downsampling stride of the convolution front end")
     parser.add_argument(
         "--winlen", default=19, type=Positive(int),
-        help="Length of window over data")
+        help="Convolution front-end window width in samples")
     parser.add_argument("model", action=FileExists,
-                        help="File to read python model description from")
+                        help="Python file defining the network to train")
     parser.add_argument("chunks", action=FileExists,
-                        help="file containing chunks")
+                        help="HDF5 of fixed-length signal chunks")
     parser.add_argument("reference", action=FileExists,
-                        help="file containing fasta reference")
+                        help="fasta of the per-chunk sequences")
     return parser
 
 

@@ -29,20 +29,20 @@ def get_parser():
         sample_nreads_before_filtering version weight_decay""".split())
     parser.add_argument(
         "--batch_size", default=100, metavar="chunks", type=Positive(int),
-        help="Number of chunks to run in parallel")
+        help="Chunks per training batch")
     parser.add_argument(
         "--back_prob", default=1e-15, metavar="probability",
-        type=proportion, help="Probability of backwards move")
+        type=proportion, help="Chance of a backward step in the alignment")
     parser.add_argument(
         "--depth", metavar="layers", default=4, type=Positive(int),
-        help="Number of residual convolution layers")
+        help="Depth of the residual convolution stack")
     parser.add_argument(
         "--filter_path_buffer", default=1.1, metavar="ratio", type=float,
         help="Drop chunks with small ratio of signal length to bases")
     parser.add_argument(
         "--filter_min_pass_fraction", default=0.5, metavar="fraction",
         type=Maybe(Positive(float)),
-        help="Halt if fraction of chunks passing tests is less than this")
+        help="Abort when the chunk-filter pass rate falls below this fraction")
     parser.add_argument(
         "--full_filter_status", default=False, action=AutoBool,
         help="Output full chunk filtering statistics.")
@@ -51,24 +51,24 @@ def get_parser():
         help="Strand summary file containing column read_id.")
     parser.add_argument(
         "--lr_decay", default=5000, metavar="n", type=Positive(float),
-        help="Learning rate for batch i is lr_max / (1.0 + i / n)")
+        help="Decay scale n: batch i trains at lr_max / (1 + i/n)")
     parser.add_argument(
         "--lr_max", default=1.0e-4, metavar="rate", type=Positive(float),
-        help="Max (and starting) learning rate")
+        help="Learning rate at step 0 (the maximum)")
     parser.add_argument(
         "--seed", default=None, metavar="integer", type=Positive(int),
-        help="Set random number seed")
+        help="Seed for all RNGs (parameter init and data order)")
     parser.add_argument(
         "--size", metavar="n", default=32, type=Positive(int),
-        help="Size of layers in convolution network")
+        help="Channels per convolution layer")
     parser.add_argument(
         "--target_len", metavar="n", default=300, type=Positive(int),
-        help="Target length of sequence")
+        help="Sequence length to cut references into")
     parser.add_argument(
         "--winlen", metavar="n", default=9, type=Positive(int),
-        help="Window for convolution network")
+        help="Convolution kernel width")
     parser.add_argument(
-        "input", action=FileExists, help="HDF5 file containing mapped reads")
+        "input", action=FileExists, help="Mapped-signal HDF5 with the training data")
     return parser
 
 

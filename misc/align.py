@@ -25,20 +25,20 @@ def get_parser():
     parser.add_argument(
         "--bwa_mem_args", metavar="args",
         default="-k14 -W20 -r10 -t 16 -A 1 -B 2 -O 2 -E 1",
-        help="Command line arguments to pass to bwa mem")
+        help="Extra flags forwarded to bwa mem")
     assess_grp = parser.add_argument_group("Alignment Assessment Arguments")
     assess_grp.add_argument("--coverage", metavar="proportion", default=0.6,
-                            type=proportion, help="Minimum coverage")
+                            type=proportion, help="Coverage floor for including an alignment")
     assess_grp.add_argument("--data_name", default=None,
-                            help="Data name. If not set file name is used.")
+                            help="Label for the dataset (defaults to the file name).")
     assess_grp.add_argument("--figure_format", default="png",
-                            help="Figure file format.")
+                            help="Image format for saved figures.")
     assess_grp.add_argument("--show_median", default=False, action=AutoBool,
-                            help="Show median in a histogram plot")
+                            help="Annotate the histogram with the median")
     assess_grp.add_argument("--reference", default=None,
-                            help="Reference sequence to align against")
+                            help="Fasta to align the queries against")
     parser.add_argument("files", metavar="input", nargs="+",
-                        help="One or more files containing query sequences")
+                        help="Query sequence file(s) to align")
     return parser
 
 

@@ -47,7 +47,7 @@ def get_parser():
         description="Compute read accuracy statistics from alignments",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     parser.add_argument("--coverage", default=0.6, metavar="proportion",
-                        type=proportion, help="Minimum coverage")
+                        type=proportion, help="Coverage floor for including an alignment")
     parser.add_argument("--data_name", default=None,
                         help="Data name (default: from filename)")
     parser.add_argument("--figure_format", default="png",

@@ -31,12 +31,12 @@ def get_parser():
     parser.add_argument("--alignment_summary", default=None,
                         help="tsv file containing alignment summary")
     parser.add_argument("--coverage_threshold", default=0.8, type=float,
-                        help="Disregard reads with coverage less than this")
+                        help="Skip reads below this alignment coverage")
     parser.add_argument("--max_alignment_score", default=40.0, type=float,
                         help="Upper limit on score calculated from "
                              "alignment")
     parser.add_argument("--min_fastqscore", default=7.0, type=float,
-                        help="Lower limit on score calculated from fastq")
+                        help="Floor applied to the fastq-derived score")
     parser.add_argument("--fastq", default=None, help="Input fastq file")
     parser.add_argument("--input_directory", default=None,
                         help="Directory containing fastq files and "

@@ -10,7 +10,7 @@ import h5py
 def main():
     parser = argparse.ArgumentParser(
         description="List contents of an HDF5 file")
-    parser.add_argument("input", help="HDF5 file")
+    parser.add_argument("input", help="HDF5 file to inspect")
     args = parser.parse_args()
     with h5py.File(args.input, "r") as f:
         print("Root attrs:", dict(f.attrs))

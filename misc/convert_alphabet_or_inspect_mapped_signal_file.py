@@ -21,7 +21,7 @@ def get_parser():
     parser = argparse.ArgumentParser(
         description="Convert (or print) alphabet attributes contained "
                     "within a mapped signal file.")
-    parser.add_argument("input", help="Mapped signal file.")
+    parser.add_argument("input", help="Mapped-signal HDF5 to operate on.")
     parser.add_argument("--print_only", action="store_true",
                         help="Only print the alphabet information.")
     parser.add_argument("--print_read_total", action="store_true",

@@ -27,7 +27,7 @@ def get_parser():
     parser = argparse.ArgumentParser(
         description="Combine mapped-signal files into a single file. "
                     "Checks that alphabets are compatible.")
-    parser.add_argument("output", help="Output filename")
+    parser.add_argument("output", help="Merged output HDF5 path")
     parser.add_argument(
         "--input", required=True, nargs=2, action="append",
         metavar=("mapped_signal_file", "num_reads"),

@@ -21,13 +21,13 @@ BASES = {b: i for i, b in enumerate("ACGT")}
 def get_parser():
     parser = argparse.ArgumentParser()
     parser.add_argument("--refbackground", default=False, action=AutoBool,
-                        help="Get background from references")
+                        help="Estimate base background frequencies from the fasta")
     parser.add_argument("--down", metavar="bases", type=Positive(int),
-                        default=15, help="number of bases down stream")
+                        default=15, help="bases to keep downstream of the site")
     parser.add_argument("--up", metavar="bases", type=Positive(int),
-                        default=15, help="number of bases up stream")
+                        default=15, help="bases to keep upstream of the site")
     parser.add_argument("references", action=FileExists,
-                        help="Fasta file containing references")
+                        help="Reference fasta to scan")
     parser.add_argument("coordinates", action=FileExists,
                         help="coordinates file (columns filename, pos)")
     return parser

@@ -23,13 +23,13 @@ def get_parser():
         description="Plot an accuracy histogram from a combined read file",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     parser.add_argument("combined_read_file", action=FileExists,
-                        help="Combined read file to get data from")
+                        help="Alignment summary TSV to plot")
     parser.add_argument("--bins", default=100, type=Positive(int),
-                        help="Number of bins for histogram")
-    parser.add_argument("--title", default="", help="Figure title")
+                        help="Histogram bin count")
+    parser.add_argument("--title", default="", help="Title drawn above the plot")
     parser.add_argument("--output_name",
                         default="basecaller_histogram.png",
-                        help="Output file name")
+                        help="Path for the rendered figure")
     return parser
 
 

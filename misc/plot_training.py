@@ -35,10 +35,10 @@ def get_parser():
                         type=Positive(float))
     parser.add_argument("--lower_x_limit", default=None,
                         type=Positive(float))
-    parser.add_argument("output", help="Output png file")
+    parser.add_argument("output", help="Destination png path")
     parser.add_argument(
         "input_directories", nargs="+",
-        help="One or more directories containing {} and {} files".format(
+        help="Training output directories (each holding {} and {})".format(
             BATCH_LOG_FILENAME, VALID_LOG_FILENAME))
     return parser
 

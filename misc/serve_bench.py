@@ -26,8 +26,9 @@ import h5py
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-DEFAULT_MODEL = os.path.join(REPO, "tests", "data",
-                             "mGru_remap_converted.checkpoint")
+DEFAULT_MODEL = os.path.join(
+    REPO, "taiyaki_tpu", "models",
+    "mGru_flipflop_remapping_model_r9_DNA.checkpoint")
 
 VARIANTS = {
     "fasta": [],

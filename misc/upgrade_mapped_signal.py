@@ -24,9 +24,9 @@ def get_parser():
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     add_common_command_args(parser, ["version"])
     parser.add_argument("input", action=FileExists,
-                        help="Mapped signal to read from")
+                        help="Source mapped-signal HDF5")
     parser.add_argument("output", action=FileAbsent,
-                        help="Name for output upgraded mapped signal file")
+                        help="Destination path for the upgraded HDF5")
     return parser
 
 

@@ -78,7 +78,7 @@ class AutoBool(argparse.Action):
         default_opt = opts[0] if default else opts[1]
         super().__init__(opts, dest, nargs=0, const=None, default=default,
                          required=required,
-                         help="{} (Default: {})".format(help, default_opt))
+                         help="{} (default: {})".format(help, default_opt))
 
     def __call__(self, parser, namespace, values, option_strings=None):
         setattr(namespace, self.dest,

@@ -16,8 +16,8 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 READS_DIR = "/root/reference/test/data/reads"
-MODEL = os.path.join(REPO, "tests", "data",
-                     "mGru_remap_converted.checkpoint")
+MODEL = os.path.join(REPO, "taiyaki_tpu", "models",
+                     "mGru_flipflop_remapping_model_r9_DNA.checkpoint")
 EXPECTED = os.path.join(REPO, "tests", "data", "reference_parity_calls.fa")
 
 

@@ -11,8 +11,8 @@ import numpy as np
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-MODEL = os.path.join(REPO, "tests", "data",
-                     "mGru_remap_converted.checkpoint")
+MODEL = os.path.join(REPO, "taiyaki_tpu", "models",
+                     "mGru_flipflop_remapping_model_r9_DNA.checkpoint")
 FIXTURE_MSF = ("/root/reference/test/data/mapped_signal_file/"
                "mapped_reads_0.hdf5")
 
@@ -78,9 +78,9 @@ def test_train_flipflop_smoke(tmp_path):
              "--min_sub_batch_size", "4", "--save_every", "2",
              "--sample_nreads_before_filtering", "50",
              "--reporting_sub_batches", "10", "--seed", "5",
-             "--outdir", outdir, MODEL.replace(
-                 "mGru_remap_converted.checkpoint", "")
-             + "/../../taiyaki_tpu/models/mGru_flipflop.py", FIXTURE_MSF],
+             "--outdir", outdir,
+             os.path.join(REPO, "taiyaki_tpu", "models", "mGru_flipflop.py"),
+             FIXTURE_MSF],
             timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(os.path.join(outdir, "model_final.checkpoint"))

@@ -16,8 +16,8 @@ FIXTURE_MSF = ("/root/reference/test/data/mapped_signal_file/"
 STRAND_LIST = "/root/reference/test/data/strand_lists/strand_list.txt"
 TORCH_CKPT = ("/root/reference/models/"
               "mGru_flipflop_remapping_model_r9_DNA.checkpoint")
-CONVERTED = os.path.join(REPO, "tests", "data",
-                         "mGru_remap_converted.checkpoint")
+CONVERTED = os.path.join(REPO, "taiyaki_tpu", "models",
+                         "mGru_flipflop_remapping_model_r9_DNA.checkpoint")
 
 needs_fixtures = pytest.mark.skipif(
     not os.path.exists(FIXTURE_MSF), reason="reference fixtures absent")
