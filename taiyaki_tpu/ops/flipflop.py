@@ -44,6 +44,9 @@ def _use_pallas():
     """Use the Pallas lattice kernels on TPU (trace-time constant)."""
     if os.environ.get("TAIYAKI_TPU_NO_PALLAS") == "1":
         return False
+    if os.environ.get("TAIYAKI_TPU_PALLAS_INTERPRET") == "1":
+        # Force the Pallas path off-TPU (interpret mode): mesh parity tests.
+        return True
     try:
         return jax.default_backend() == "tpu"
     except Exception:

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from taiyaki_tpu.ops.pallas_common import run_steps
+from taiyaki_tpu.ops.pallas_common import interp, run_steps
 
 _NEG = -1e30
 DEFAULT_BLOCK_T = 8
@@ -155,7 +155,7 @@ def crf_forward(stay_all, move_all, valid, block_t=DEFAULT_BLOCK_T,
             pltpu.VMEM((bb, L), jnp.float32),
             pltpu.VMEM((bb, 1), jnp.float32),
         ],
-        interpret=interpret,
+        interpret=interp(interpret),
     )(stay_all, move_all, valid)
     return fwd_final, score[:, 0], lattice
 
@@ -262,7 +262,7 @@ def crf_backward_posteriors(stay_all, move_all, lattice, valid, last,
             jax.ShapeDtypeStruct((T, B, L), o_dt),
         ],
         scratch_shapes=[pltpu.VMEM((bb, L), jnp.float32)],
-        interpret=interpret,
+        interpret=interp(interpret),
     )(stay_all, move_all, lattice, valid, last)
 
 
@@ -470,7 +470,7 @@ def crf_forward_fused(lp, stay_idx, move_idx, modmove_idx, modmove_fact,
             pltpu.VMEM((block_t, block_b, L), jnp.bfloat16),
             pltpu.VMEM((block_t, block_b, L), jnp.bfloat16),
         ],
-        interpret=interpret,
+        interpret=interp(interpret),
     )(lp, stay_idx, move_idx, modmove_idx, modmove_fact, valid)
     if emit_lattice:
         fwd_final, score, lattice = out
@@ -601,6 +601,6 @@ def crf_backward_fused(lp, stay_idx, move_idx, modmove_idx, modmove_fact,
             pltpu.VMEM((block_t, block_b, L), jnp.bfloat16),
             pltpu.VMEM((block_t, block_b, L), jnp.bfloat16),
         ],
-        interpret=interpret,
+        interpret=interp(interpret),
     )(lp, stay_idx, move_idx, modmove_idx, modmove_fact, lattice, valid,
       last)[0]

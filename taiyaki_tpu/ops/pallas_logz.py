@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from taiyaki_tpu.ops.pallas_common import run_steps
+from taiyaki_tpu.ops.pallas_common import interp, run_steps
 
 _NEG = -1e30
 LANES = 128
@@ -185,7 +185,7 @@ def logz_forward(scores_p, nbase, block_t=DEFAULT_BLOCK_T, interpret=False,
             pltpu.VMEM((bb, LANES), jnp.float32),
             pltpu.VMEM((bb, 1), jnp.float32),
         ],
-        interpret=interpret,
+        interpret=interp(interpret),
     )(scores_p, jnp.asarray(_pad_lanes(src)), jnp.asarray(_pad_lanes(dst)))
     return fwd_final, logz[:, 0], lattice
 
@@ -269,6 +269,6 @@ def logz_backward_posteriors(scores_p, lattice, nbase,
             jax.ShapeDtypeStruct((T, B, LANES), o_dt),
         ],
         scratch_shapes=[pltpu.VMEM((bb, LANES), jnp.float32)],
-        interpret=interpret,
+        interpret=interp(interpret),
     )(scores_p, lattice, jnp.asarray(_pad_lanes(src)),
       jnp.asarray(_pad_lanes(dst)))[0]

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from taiyaki_tpu.ops.pallas_common import run_steps
+from taiyaki_tpu.ops.pallas_common import interp, run_steps
 
 # Time steps per grid iteration.  Bounded by VMEM: with double-buffered
 # streaming the in/out blocks cost ~2 * block_t * block_b * (9H) floats;
@@ -193,7 +193,7 @@ def lstm_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
             pltpu.VMEM((bb, H), jnp.float32),
             pltpu.VMEM((bb, H), jnp.float32),
         ],
-        interpret=interpret,
+        interpret=interp(interpret),
     )(gates_x, swt)
 
 
@@ -431,7 +431,7 @@ def lstm_bwd_acts(dh_out, acts, tc, c_prev, h, x, sW, iW,
             pltpu.VMEM((bb, H), jnp.float32),
             pltpu.VMEM((bb, H4), jnp.float32),
         ],
-        interpret=interpret,
+        interpret=interp(interpret),
     )(dh_out, acts, tc, c_prev, h, x, sW, iW)
     return dx, dsw, diw, db[:, 0]
 
@@ -514,7 +514,7 @@ def lstm_bwd_fusedw(dh_out, pre, c, c_prev, h, x, sW, iW,
             jax.ShapeDtypeStruct((nb, 1, H4), jnp.float32),
         ],
         scratch_shapes=scratch,
-        interpret=interpret,
+        interpret=interp(interpret),
     )(*inputs)
     return dx, dsw, diw, db[:, 0]
 
@@ -683,7 +683,7 @@ def lstm_bwd_recompute(dh_out, c, h, x, sW, iW, b,
             pltpu.VMEM((bb, H), jnp.float32),
             pltpu.VMEM((block_t, bb, H4), jnp.float32),
         ],
-        interpret=interpret,
+        interpret=interp(interpret),
     )(dh_out, c, c, h, h, x, sW.T, sW, iW.T, iW,
       jnp.asarray(b).reshape(1, H4))
     return dx, dsw, diw, db[:, 0]
@@ -786,7 +786,7 @@ def lstm_bwd(dh_out, pre, c, c_prev, sW, block_t=DEFAULT_BLOCK_T,
             pltpu.VMEM((bb, H), jnp.float32),
             pltpu.VMEM((bb, H), jnp.float32),
         ],
-        interpret=interpret,
+        interpret=interp(interpret),
     )(*args)
 
 
@@ -952,7 +952,7 @@ def lstm_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
             pltpu.VMEM((bb, H), jnp.float32),
             pltpu.VMEM((block_t, bb, H4), jnp.float32),
         ],
-        interpret=interpret,
+        interpret=interp(interpret),
     )(x, iW.T, b.reshape(1, H4), sW.T)
 
 
@@ -1049,7 +1049,7 @@ def gru_fused_fwd(x, iW, b, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
             pltpu.VMEM((bb, H), jnp.float32),
             pltpu.VMEM((block_t, bb, H3), jnp.float32),
         ],
-        interpret=interpret,
+        interpret=interp(interpret),
     )(x, iW.T, b.reshape(1, H3), sW.T)
 
 
@@ -1113,7 +1113,7 @@ def gru_fwd(gates_x, sW, block_t=DEFAULT_BLOCK_T, interpret=False,
             jax.ShapeDtypeStruct((T, B, H3), res_dt),
         ],
         scratch_shapes=[pltpu.VMEM((bb, H), jnp.float32)],
-        interpret=interpret,
+        interpret=interp(interpret),
     )(gates_x, sW.T)
 
 
@@ -1226,7 +1226,7 @@ def gru_bwd_fusedw(dh_out, gates_x, gh, h_prev, x, sW, iW,
             jax.ShapeDtypeStruct((nb, 1, H3), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((bb, H), jnp.float32)],
-        interpret=interpret,
+        interpret=interp(interpret),
     )(dh_out, gates_x, gh, h_prev, x, sW, iW)
     return dx, dsw, diw, db[:, 0]
 
@@ -1366,7 +1366,7 @@ def gru_bwd_recompute(dh_out, h, x, sW, iW, b,
             pltpu.VMEM((block_t, bb, H3), jnp.float32),
             pltpu.VMEM((block_t, bb, H3), jnp.float32),
         ],
-        interpret=interpret,
+        interpret=interp(interpret),
     )(dh_out, h, h, x, sW.T, sW, iW.T, iW,
       jnp.asarray(b).reshape(1, H3))
     return dx, dsw, diw, db[:, 0]
@@ -1464,5 +1464,5 @@ def gru_bwd(dh_out, gates_x, gh, h_prev, sW, block_t=DEFAULT_BLOCK_T,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((bb, H), jnp.float32)],
-        interpret=interpret,
+        interpret=interp(interpret),
     )(*args)

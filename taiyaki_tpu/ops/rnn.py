@@ -75,6 +75,9 @@ def _use_pallas(batch_size):
         return False
     if batch_size % 8 != 0:
         return False
+    if os.environ.get("TAIYAKI_TPU_PALLAS_INTERPRET") == "1":
+        # Force the Pallas path off-TPU (interpret mode): mesh parity tests.
+        return True
     try:
         return jax.default_backend() == "tpu"
     except Exception:
