@@ -26,6 +26,7 @@ connection, serialized by a client-side lock):
 
     client -> server:  "<tag> <value>\n"
     server -> client:  "<tag> <max over all n submissions>\n"
+    server -> client:  "! peer-lost\n"   (a participant died: fail fast)
 
 Tags must be issued in the same ORDER on every host (the trainer uses
 "iteration.sub_batch"), but requests for a tag may arrive at the server
@@ -58,6 +59,8 @@ class MaxReduceServer:
         self._lock = threading.Lock()
         self._pending = {}      # tag -> list of (value, conn)
         self._conns = []
+        self._closing = False
+        self._dead = False      # a participant was lost; job is over
         threading.Thread(target=self._accept_loop, daemon=True).start()
 
     def _accept_loop(self):
@@ -78,17 +81,46 @@ class MaxReduceServer:
             try:
                 data = conn.recv(4096)
             except OSError:
-                return
+                return self._peer_lost()
             if not data:
-                return
+                return self._peer_lost()
             buf += data
             while b"\n" in buf:
                 line, buf = buf.split(b"\n", 1)
                 tag, value = line.decode().rsplit(" ", 1)
                 self._submit(tag, int(value), conn)
 
+    def _peer_lost(self):
+        """A participant's connection dropped mid-job: every reduction
+        from now on would wait for a submission that can never come, so
+        FAIL FAST — broadcast a sentinel reply that makes any blocked
+        (or future) `reduce()` raise immediately instead of sitting out
+        the full socket timeout.  Suppressed during `close()` (normal
+        shutdown tears connections down in arbitrary host order; with
+        collective tags a straggler EOF can only break a tag that could
+        never complete anyway, and an unread sentinel in a finished
+        client's buffer is harmless)."""
+        with self._lock:
+            if self._closing:
+                return
+            self._dead = True
+            conns = list(self._conns)
+        for c in conns:
+            try:
+                c.sendall(b"! peer-lost\n")
+            except OSError:
+                pass
+
     def _submit(self, tag, value, conn):
         with self._lock:
+            if self._dead:
+                # job already failed: bounce every late submission so no
+                # host ever waits out a socket timeout
+                try:
+                    conn.sendall(b"! peer-lost\n")
+                except OSError:
+                    pass
+                return
             entries = self._pending.setdefault(tag, [])
             entries.append((value, conn))
             if len(entries) < self.n_procs:
@@ -109,6 +141,7 @@ class MaxReduceServer:
         except OSError:
             pass
         with self._lock:
+            self._closing = True
             conns, self._conns = self._conns, []
         for c in conns:
             try:
@@ -136,10 +169,13 @@ class MaxReducer:
         self._conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         self._lock = threading.Lock()
         self._buf = b""
+        self._poisoned = None   # RuntimeError once a peer-lost is seen
 
     def reduce(self, tag, value):
         assert " " not in tag and "\n" not in tag, tag
         with self._lock:
+            if self._poisoned is not None:
+                raise self._poisoned
             self._conn.sendall("{} {}\n".format(tag, int(value)).encode())
             while b"\n" not in self._buf:
                 data = self._conn.recv(4096)
@@ -149,6 +185,12 @@ class MaxReducer:
                 self._buf += data
             line, self._buf = self._buf.split(b"\n", 1)
             rtag, rvalue = line.decode().rsplit(" ", 1)
+            if rtag == "!":
+                self._poisoned = RuntimeError(
+                    "seqlen-sync: a peer host's connection was lost "
+                    "({}) — the multihost job cannot continue; "
+                    "restart all hosts".format(rvalue))
+                raise self._poisoned
             if rtag != tag:
                 # one-in-flight per connection + same tag order on every
                 # host makes this unreachable; fail loudly if violated

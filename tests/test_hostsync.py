@@ -104,3 +104,81 @@ def test_server_close_unblocks_client():
         assert err
     finally:
         a.close(); server.close()
+
+
+def test_peer_death_fails_survivor_fast():
+    """A participant dying mid-job must error the survivor out
+    immediately (server broadcasts the peer-lost sentinel), NOT leave it
+    hanging until the socket timeout."""
+    import time
+    server = hostsync.MaxReduceServer(2)
+    a, b = _clients(server, 2)
+    try:
+        err = []
+
+        def run():
+            try:
+                a.reduce("0.0", 1)
+            except RuntimeError as exc:
+                err.append(exc)
+
+        t = threading.Thread(target=run)
+        t.start()
+        time.sleep(0.2)
+        b.close()              # peer dies without ever submitting
+        t0 = time.monotonic()
+        t.join(timeout=10)
+        assert not t.is_alive(), "survivor hung after peer death"
+        # well under the 30s socket timeout: the sentinel, not the timeout
+        assert time.monotonic() - t0 < 5
+        assert err and "peer" in str(err[0])
+        # and FUTURE reduces fail IMMEDIATELY (poisoned client; no
+        # socket-timeout wait)
+        t1 = time.monotonic()
+        try:
+            a.reduce("0.1", 2)
+            raised = False
+        except RuntimeError:
+            raised = True
+        assert raised and time.monotonic() - t1 < 1
+    finally:
+        a.close(); server.close()
+
+
+def test_peer_death_mid_stream_fails_other_hosts():
+    """Peer dies AFTER some successful reductions; remaining hosts must
+    raise on their next (already-blocked) reduction."""
+    import time
+    server = hostsync.MaxReduceServer(3)
+    a, b, c = _clients(server, 3)
+    try:
+        # one full round succeeds
+        outs = []
+        tb = threading.Thread(target=lambda: outs.append(
+            b.reduce("0.0", 7)))
+        tc = threading.Thread(target=lambda: outs.append(
+            c.reduce("0.0", 9)))
+        tb.start(); tc.start()
+        outs.append(a.reduce("0.0", 5))
+        tb.join(timeout=10); tc.join(timeout=10)
+        assert sorted(outs) == [9, 9, 9]
+
+        # next round: c dies while a and b wait
+        errs = []
+
+        def run(client):
+            try:
+                client.reduce("1.0", 1)
+            except RuntimeError as exc:
+                errs.append(exc)
+
+        ta = threading.Thread(target=run, args=(a,))
+        tb = threading.Thread(target=run, args=(b,))
+        ta.start(); tb.start()
+        time.sleep(0.2)
+        c.close()
+        ta.join(timeout=10); tb.join(timeout=10)
+        assert not ta.is_alive() and not tb.is_alive()
+        assert len(errs) == 2
+    finally:
+        a.close(); b.close(); server.close()

@@ -33,19 +33,19 @@ def _free_port():
 PORT = _free_port()
 
 
-def launch(proc_id, outdir):
+def launch(proc_id, outdir, port=PORT, niteration=3, extra=()):
     env = dict(
         os.environ,
         JAX_PLATFORMS="cpu",
         XLA_FLAGS="--xla_force_host_platform_device_count=2",
-        TAIYAKI_COORDINATOR="localhost:{}".format(PORT),
+        TAIYAKI_COORDINATOR="localhost:{}".format(port),
         TAIYAKI_NUM_PROCS="2",
         TAIYAKI_PROC_ID=str(proc_id),
     )
     # each process must have its own compile cache dir or they race
     env.pop("JAX_COMPILATION_CACHE_DIR", None)
     # --seqlen_buckets (explicit): multihost bucketing syncs the
-    # data-dependent bucket via the coordination-service KV store
+    # data-dependent bucket via the hostsync TCP max-reducer
     # (_seqlen_sync); hosts disagreeing on padded shapes would crash or
     # deadlock the psum, so this test completing IS the shape-agreement
     # assertion.
@@ -53,12 +53,12 @@ def launch(proc_id, outdir):
             os.path.join(REPO, "bin", "train_flipflop.py"),
             "--device", "cpu", "--multihost", "--seqlen_buckets",
             "--size", "16", "--stride", "2", "--winlen", "9",
-            "--niteration", "3", "--warmup_batches", "1",
+            "--niteration", str(niteration), "--warmup_batches", "1",
             "--chunk_len_min", "300", "--chunk_len_max", "400",
             "--min_sub_batch_size", "8", "--save_every", "2",
             "--sample_nreads_before_filtering", "50",
             "--reporting_sub_batches", "10", "--seed", "13",
-            "--outdir", outdir,
+            "--outdir", outdir] + list(extra) + [
             os.path.join(REPO, "taiyaki_tpu", "models",
                          "mGru_flipflop.py"),
             FIXTURE_MSF]
@@ -87,3 +87,153 @@ def test_two_process_training(tmp_path):
     assert len(batch_log) == 4  # header + 3 iterations
     losses = [float(line.split("\t")[1]) for line in batch_log[1:]]
     assert all(l > 0 and l == l for l in losses)  # finite, positive
+
+
+@needs_fixtures
+def test_two_process_trajectory_matches_single_process(tmp_path):
+    """20-iteration loss-trajectory parity: the REAL 2-process multihost
+    run (global 4-device mesh, hostsync-synced seqlen buckets
+    load-bearing every sub-batch) against an in-process single-device
+    replication of the exact same global batches.
+
+    The comparator rebuilds each global batch the way the two hosts
+    jointly do: the common-seed prefix (filter estimation, validation
+    holdout, model init, per-iteration chunk-length schedule) is
+    replayed once, then two independent np.random streams seeded
+    seed+0 / seed+1 supply each host's half, with the hostsync
+    max-reduction emulated by a two-phase replay (sample to learn each
+    host's local 128-granular seqlen, rewind, re-sample padded to the
+    global max).  Divergence beyond f32 reduction noise would expose
+    wrong data splits, double-averaged gradients, or desynced buckets.
+
+    Reference counterpart: workflow/test_multiGPU.sh:46-66 (100-iter
+    2-GPU bound on the final loss — weaker: it never compares against
+    a single-process trajectory).
+    """
+    import importlib.util
+    import numpy as np
+    import jax
+
+    niter = 20
+    out0 = str(tmp_path / "lead")
+    out1 = str(tmp_path / "follower")
+    port = _free_port()
+    extra = ("--chunk_len_buckets", "2")   # bound CPU recompiles
+    p0 = launch(0, out0, port=port, niteration=niter, extra=extra)
+    p1 = launch(1, out1, port=port, niteration=niter, extra=extra)
+    log0 = p0.communicate(timeout=1500)[0]
+    log1 = p1.communicate(timeout=1500)[0]
+    assert p0.returncode == 0, log0[-3000:]
+    assert p1.returncode == 0, log1[-3000:]
+    batch_log = open(os.path.join(out0, "batch.log")).read().splitlines()
+    assert len(batch_log) == niter + 1
+    multi_losses = [float(line.split("\t")[1]) for line in batch_log[1:]]
+
+    # ---- single-process comparator on the same global batches ----
+    from taiyaki_tpu import train
+    from taiyaki_tpu.data import mapped_signal_files, chunk_selection
+    from taiyaki_tpu.utils import helpers
+
+    spec = importlib.util.spec_from_file_location(
+        "train_flipflop_script",
+        os.path.join(REPO, "bin", "train_flipflop.py"))
+    trainer_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(trainer_mod)
+
+    seed, nproc, ndev_global = 13, 2, 4
+    stride, winlen, size = 2, 9, 16
+    chunk_len_min, chunk_len_max, path_buffer = 300, 400, 1.1
+    min_sub_batch_size = 8
+
+    with mapped_signal_files.MappedSignalReader(FIXTURE_MSF) as msr:
+        ai = msr.get_alphabet_information()
+        read_data = list(msr.reads(None))
+
+    # common-seed prefix, replayed in trainer order (train_flipflop.py)
+    np.random.seed(seed)
+    rng = np.random.default_rng(seed)
+    bucket_rng = np.random.default_rng(2 ** 32 + seed)
+    net, params, *_ = helpers.load_model(
+        os.path.join(REPO, "taiyaki_tpu", "models", "mGru_flipflop.py"),
+        model_metadata={"reverse": False, "standardize": True},
+        size=size, stride=stride, winlen=winlen, insize=1,
+        alphabet_info=ai)
+    params = net.init(rng)
+    optimizer, schedule = train.make_optimizer(
+        4.0e-3, niter, 1, 1.0e-4, 1.0e-4, adam_betas=(0.9, 0.999),
+        eps=1e-6, weight_decay=0.01, min_momentum=None)
+    opt_state = optimizer.init(params)
+    filter_params = chunk_selection.sample_filter_parameters(
+        read_data, 50, chunk_len_max, 3.0, 10.0, 0.5, stride, path_buffer)
+    n_report = max(1, int(len(read_data) * 1 / 100.0))
+    report_idx = set(np.random.choice(len(read_data), n_report,
+                                      replace=False))
+    read_data = [r for i, r in enumerate(read_data) if i not in report_idx]
+    buckets = train.chunk_len_buckets(chunk_len_min, chunk_len_max,
+                                      stride, 2)
+
+    step = train.jit_train_step(train.make_train_step(net, optimizer),
+                                mesh=None)
+    nleaves = len(jax.tree.leaves(params))
+    capper = train.GradientCapper(nleaves, 0)
+    sharpen_sched = train.linear_ramp(1.0, 1.0, 25000)
+    mod_factor_sched = train.linear_ramp(8.0, 1.0, 50000)
+
+    # per-host training streams (trainer reseeds seed + process_index)
+    states = []
+    for pid in range(nproc):
+        np.random.seed(seed + pid)
+        states.append(np.random.get_state())
+
+    single_losses = []
+    for it in range(niter):
+        chunk_len = buckets[bucket_rng.integers(len(buckets))]
+        sub = train.sub_batch_size_for_chunk(
+            min_sub_batch_size, chunk_len_max, chunk_len)
+        per = max(1, sub // ndev_global)
+        sub = per * ndev_global
+        local_bs = sub // nproc
+        max_seqlen = train.max_seqlen_for_chunk(chunk_len, stride,
+                                                path_buffer)
+        # phase 1: each host's local 128-granular seqlen max
+        local_maxs = []
+        for pid in range(nproc):
+            np.random.set_state(states[pid])
+            cap = []
+            train.sample_batch(
+                read_data, chunk_len, local_bs, max_seqlen, ai,
+                filter_params, standardize=True, seqlen_granularity=128,
+                seqlen_reduce=lambda v: cap.append(v) or v)
+            local_maxs.append(cap[0])
+        agreed = max(local_maxs)
+        # phase 2: rewind and build each half padded to the global max
+        halves = []
+        for pid in range(nproc):
+            np.random.set_state(states[pid])
+            b, _ = train.sample_batch(
+                read_data, chunk_len, local_bs, max_seqlen, ai,
+                filter_params, standardize=True, seqlen_granularity=128,
+                seqlen_reduce=lambda v: agreed)
+            states[pid] = np.random.get_state()
+            if b.signal.shape[1] < local_bs:
+                b = trainer_mod._pad_batch(b, local_bs)
+            halves.append(b)
+        batch = train.Batch(
+            np.concatenate([h.signal for h in halves], axis=1),
+            np.concatenate([h.seqs for h in halves], axis=0),
+            np.concatenate([h.seqlens for h in halves], axis=0),
+            None)
+        params, opt_state, loss, grad_maxs = step(
+            params, opt_state, batch, sharpen_sched(it),
+            mod_factor_sched(it), jax.numpy.asarray(capper.thresholds))
+        capper.update(np.asarray(grad_maxs))
+        single_losses.append(float(loss))
+
+    assert np.isfinite(single_losses).all()
+    # both runs actually train
+    assert multi_losses[-1] < multi_losses[0]
+    # trajectory parity: tight early, reduction-noise band over 20 iters
+    np.testing.assert_allclose(multi_losses[:10], single_losses[:10],
+                               rtol=3e-4, atol=1e-5)
+    np.testing.assert_allclose(multi_losses, single_losses,
+                               rtol=5e-3, atol=1e-4)
