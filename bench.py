@@ -155,24 +155,47 @@ def main():
     # reference trainer's default width (bin/_bin_argparse.py size=384)
     size = int(os.environ.get("BENCH_SIZE", "256"))
     # BENCH_MODEL=mGru benches the reference's default remap
-    # architecture (alternating-direction GRU stack, stride 2)
+    # architecture (alternating-direction GRU stack, stride 2);
+    # mLstm_cat_mod / mGru_cat_mod bench modified-base training (5mC
+    # alphabet), the reference's second training config with its own
+    # CRF kernel (c_cat_mod_flipflop.c) and fused-selector Pallas path.
     model = os.environ.get("BENCH_MODEL", "mLstm")
-    if model == "mGru":
-        from taiyaki_tpu.models import mGru_flipflop as model_mod
+    cat_mod = model.endswith("_cat_mod")
+    if model.startswith("mGru"):
+        from taiyaki_tpu.models import (
+            mGru_cat_mod_flipflop, mGru_flipflop)
+        model_mod = mGru_cat_mod_flipflop if cat_mod else mGru_flipflop
         if "BENCH_STRIDE" not in os.environ and not rna:
             stride = 2      # mGru's reference default
     else:
-        from taiyaki_tpu.models import mLstm_flipflop as model_mod
+        from taiyaki_tpu.models import (
+            mLstm_cat_mod_flipflop, mLstm_flipflop)
+        model_mod = mLstm_cat_mod_flipflop if cat_mod else mLstm_flipflop
     max_seqlen = train.max_seqlen_for_chunk(chunk_len, stride, 1.1)
 
     rng = np.random.default_rng(0)
-    net = model_mod.network(size=size, stride=stride, winlen=winlen)
+    if cat_mod:
+        from taiyaki_tpu.alphabet import AlphabetInfo
+        ai = AlphabetInfo("ACGTZ", "ACGTC", ["5mC"], do_reorder=True)
+        net = model_mod.network(size=size, stride=stride, winlen=winlen,
+                                alphabet_info=ai)
+        head = net.sublayers[-1]
+        can_mods_offsets = head.can_mods_offsets
+        can_labels, mod_labels = head.can_labels, head.mod_labels
+        mod_cat_weights = np.ones(head.ncan_base + head.nmod_base,
+                                  dtype=np.float32)
+    else:
+        net = model_mod.network(size=size, stride=stride, winlen=winlen)
+        can_mods_offsets = can_labels = mod_labels = None
+        mod_cat_weights = None
     params = net.init(rng)
     opt, _ = train.make_optimizer(
         lr_max=4e-3, niteration=1000, warmup_batches=10, lr_warmup=1e-4,
         lr_min=1e-4)
     opt_state = opt.init(params)
-    step = train.jit_train_step(train.make_train_step(net, opt), mesh=None)
+    step = train.jit_train_step(
+        train.make_train_step(net, opt, cat_mod, can_mods_offsets,
+                              mod_cat_weights), mesh=None)
 
     signal = rng.normal(size=(chunk_len, batch_size, 1)).astype(np.float32)
     # Realistic sequence lengths: ~chunk_len/10 bases (dwell ~10 samples).
@@ -184,12 +207,22 @@ def main():
     # worst-case path-buffer bound.
     max_seqlen = train.bucket_seqlen(int(seqlens.max()), max_seqlen)
     seqs = np.zeros((batch_size, max_seqlen), dtype=np.int32)
+    mod_cats = np.zeros((batch_size, max_seqlen), dtype=np.int32) \
+        if cat_mod else None
+    from taiyaki_tpu.flipflopfings import flipflop_code
     for i in range(batch_size):
-        labels = rng.integers(0, 4, size=seqlens[i])
-        from taiyaki_tpu.flipflopfings import flipflop_code
+        if cat_mod:
+            # full-alphabet labels (ACGT + Z=5mC) mapped through the
+            # head's canonical/mod tables, as the trainer does
+            labels = rng.integers(0, 5, size=seqlens[i])
+            mod_cats[i, :seqlens[i]] = mod_labels[labels]
+            labels = can_labels[labels]
+        else:
+            labels = rng.integers(0, 4, size=seqlens[i])
         seqs[i, :seqlens[i]] = flipflop_code(labels)
     batch = train.Batch(jnp.asarray(signal), jnp.asarray(seqs),
-                        jnp.asarray(seqlens), None)
+                        jnp.asarray(seqlens),
+                        None if mod_cats is None else jnp.asarray(mod_cats))
     nleaves = len(jax.tree.leaves(params))
     threshs = jnp.full(nleaves, jnp.inf, jnp.float32)
 

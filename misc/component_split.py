@@ -42,14 +42,28 @@ def main():
     chunk_len = 16000 if rna else 4000
     stride = 10 if rna else 5
     winlen = 31 if rna else 19
-    if args.model == "mGru":
-        from taiyaki_tpu.models import mGru_flipflop as model_mod
+    cat_mod = args.model.endswith("_cat_mod")
+    if args.model.startswith("mGru"):
+        from taiyaki_tpu.models import mGru_cat_mod_flipflop, mGru_flipflop
+        model_mod = mGru_cat_mod_flipflop if cat_mod else mGru_flipflop
         if not rna:
             stride = 2
     else:
-        from taiyaki_tpu.models import mLstm_flipflop as model_mod
+        from taiyaki_tpu.models import (mLstm_cat_mod_flipflop,
+                                        mLstm_flipflop)
+        model_mod = mLstm_cat_mod_flipflop if cat_mod else mLstm_flipflop
 
-    net = model_mod.network(size=256, stride=stride, winlen=winlen)
+    if cat_mod:
+        from taiyaki_tpu.alphabet import AlphabetInfo
+        ai = AlphabetInfo("ACGTZ", "ACGTC", ["5mC"], do_reorder=True)
+        net = model_mod.network(size=256, stride=stride, winlen=winlen,
+                                alphabet_info=ai)
+        head = net.sublayers[-1]
+        cmo = head.can_mods_offsets
+        mcw = np.ones(head.ncan_base + head.nmod_base, np.float32)
+    else:
+        net = model_mod.network(size=256, stride=stride, winlen=winlen)
+        cmo = mcw = None
     params = jax.device_put(net.init(np.random.default_rng(0)))
     opt, _ = train.make_optimizer(lr_max=4e-3, niteration=1000,
                                   warmup_batches=10, lr_warmup=1e-4,
@@ -57,9 +71,17 @@ def main():
     opt_state = jax.device_put(opt.init(params))
     batch = make_batch(train, np.random.default_rng(0), chunk_len,
                        stride, args.batch)
+    if cat_mod:
+        # ~20% of positions modified (uniform over the 5-letter alphabet)
+        rngm = np.random.default_rng(1)
+        mod_cats = np.where(
+            (np.asarray(batch.seqs) % 4 == 1)
+            & (rngm.random(batch.seqs.shape) < 0.25), 1, 0).astype(np.int32)
+        batch = train.Batch(batch.signal, batch.seqs, batch.seqlens,
+                            jnp.asarray(mod_cats))
     batch = train.Batch(*[jax.device_put(a) if a is not None else None
                           for a in batch])
-    loss_fn = train.make_loss_fn(net, False, None, None)
+    loss_fn = train.make_loss_fn(net, cat_mod, cmo, mcw)
     nleaves = len(jax.tree.leaves(params))
     threshs = jnp.full(nleaves, jnp.inf, jnp.float32)
 
@@ -77,8 +99,8 @@ def main():
             lambda p: loss_fn(p, batch, 1.0, 1.0))(params)
         return loss + sum(jnp.sum(x) for x in jax.tree.leaves(g))
 
-    step_fn = train.jit_train_step(train.make_train_step(net, opt),
-                                   mesh=None)
+    step_fn = train.jit_train_step(
+        train.make_train_step(net, opt, cat_mod, cmo, mcw), mesh=None)
 
     def run_step():
         nonlocal params, opt_state

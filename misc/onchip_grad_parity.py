@@ -92,7 +92,92 @@ def run(cell, B, T=96, H=128, D=64):
                     sys.exit(1)
 
 
+def run_crf(cat_mod, T=256, B=64, nbase=4, L=256, seqlen=160,
+            sharpfact=1.3):
+    """CRF loss cost+gradient parity on-chip: fused selection/scatter
+    kernels (default) vs the unfused Pallas path
+    (TAIYAKI_TPU_NO_SCORE_FUSE=1) vs the XLA scan
+    (TAIYAKI_TPU_NO_PALLAS=1) — for the canonical AND the cat_mod
+    (5mC) loss.  This pins the documented fused-cat_mod numerics class
+    (mod column folded into the in-kernel one-hot dot) with a
+    reproducible run instead of a prose claim."""
+    from taiyaki_tpu.ops import flipflop as ff
+    from taiyaki_tpu.flipflopfings import flipflop_code
+
+    rng = np.random.default_rng(11)
+    n_can = 2 * nbase * (nbase + 1)
+    if cat_mod:
+        # one mod (Z=5mC on C): can_mods_offsets [0,1,3,4,5], widths
+        # mirror models/mLstm_cat_mod_flipflop at nbase=4
+        can_mods_offsets = np.array([0, 1, 3, 4, 5], np.int32)
+        mod_cat_weights = np.ones(5, np.float32)
+        S = n_can + int(can_mods_offsets[-1])   # 40 + (ncan + nmod) = 45
+    else:
+        S = n_can                               # 40
+    lp = jnp.asarray(rng.normal(size=(T, B, S)).astype(np.float32) * 0.3)
+    seqs = np.zeros((B, L), np.int32)
+    mod_cats = np.zeros((B, L), np.int32)
+    seqlens = np.full(B, seqlen, np.int32)
+    for i in range(B):
+        labels = rng.integers(0, 5 if cat_mod else 4, size=seqlen)
+        if cat_mod:
+            # label 4 == Z (5mC, canonical C=1, mod category 1)
+            mod_cats[i, :seqlen] = np.where(labels == 4, 1, 0)
+            labels = np.where(labels == 4, 1, labels)
+        seqs[i, :seqlen] = flipflop_code(labels)
+    seqs, mod_cats = jnp.asarray(seqs), jnp.asarray(mod_cats)
+    seqlens = jnp.asarray(seqlens)
+
+    def loss_mean(lp):
+        if cat_mod:
+            v = ff.cat_mod_flipflop_loss(lp, seqs, seqlens, mod_cats,
+                                         can_mods_offsets,
+                                         mod_cat_weights, sharpfact)
+        else:
+            v = ff.crf_flipflop_loss(lp, seqs, seqlens, sharpfact)
+        return v.mean()
+
+    out = {}
+    for variant, env in [
+            ("scan", {"TAIYAKI_TPU_NO_PALLAS": "1"}),
+            ("unfused", {"TAIYAKI_TPU_NO_SCORE_FUSE": "1"}),
+            ("fused", {})]:
+        saved = {kk: os.environ.get(kk) for kk in env}
+        os.environ.update(env)
+        try:
+            cost, grad = jax.jit(jax.value_and_grad(loss_mean))(lp)
+            out[variant] = (float(cost), np.asarray(grad))
+        finally:
+            for kk, vv in saved.items():
+                if vv is None:
+                    os.environ.pop(kk, None)
+                else:
+                    os.environ[kk] = vv
+    name = "cat_mod" if cat_mod else "canonical"
+    ok = True
+    for variant in ("unfused", "fused"):
+        dcost = abs(out[variant][0] - out["scan"][0]) / abs(out["scan"][0])
+        scale = np.abs(out["scan"][1]).max() + 1e-9
+        dgrad = np.abs(out[variant][1] - out["scan"][1]).max() / scale
+        # bf16 score/posterior streams in both Pallas paths; the fused
+        # cat_mod selector dot adds its own bf16 rounding of the
+        # weighted mod column (documented ~3e-2 relmax class)
+        tol = 5e-2 if cat_mod else 2e-2
+        status = "ok" if (dcost < 1e-3 and dgrad < tol) else "FAIL"
+        print(f"crf {name:9s} {variant:8s} dcost={dcost:.2e} "
+              f"grad relmax={dgrad:.2e} {status}")
+        ok &= status == "ok"
+    # fused-vs-unfused perturbation, the number docs/performance.md cites
+    scale = np.abs(out["unfused"][1]).max() + 1e-9
+    dfu = np.abs(out["fused"][1] - out["unfused"][1]).max() / scale
+    print(f"crf {name:9s} fused-vs-unfused grad relmax={dfu:.2e}")
+    if not ok:
+        sys.exit(1)
+
+
 for cell in ("lstm", "gru"):
     for B in (256, 512):
         run(cell, B)
+for cat_mod in (False, True):
+    run_crf(cat_mod)
 print("ALL OK")

@@ -298,11 +298,16 @@ def fused_tile(batch_size, nstate, L):
     2 * bb * nstate * L * 2 bytes, single-buffered; the bf16 score and
     posterior scratches plus the double-buffered lattice stream take
     the rest of the 16 MB."""
+    # 5.5M selector budget: the backward's scatter dot materializes
+    # Mosaic stack temporaries proportional to the selector size, and
+    # 6M let the cat_mod width (S=45 at L=512, bb=64) blow the 16M
+    # scoped-vmem limit by 0.5M (measured on v5e; canonical S=40 fits).
+    # 5.5M keeps canonical at bb=64 and drops cat_mod to bb=32.
     bb = BLOCK_B
     while bb > 8 and (batch_size % bb != 0
-                      or 4 * bb * nstate * L > 6_000_000):
+                      or 4 * bb * nstate * L > 5_500_000):
         bb //= 2
-    if batch_size % bb != 0 or 4 * bb * nstate * L > 6_000_000:
+    if batch_size % bb != 0 or 4 * bb * nstate * L > 5_500_000:
         return None
     bt = 8
     while bt > 1 and 4 * bt * bb * L * 2 > 2_500_000:
