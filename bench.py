@@ -62,14 +62,66 @@ def probe_backend(attempts=8, timeout_s=150):
 def emit_error(message):
     """Emit the single JSON line in error form so the driver can tell a
     wedged backend apart from a broken build (rc stays 0 deliberately)."""
-    basecall = os.environ.get("BENCH_METRIC") == "basecall"
+    metric = {"basecall": ("basecall_ksample_per_sec", "ksample/s"),
+              "serve": ("serve_ksample_per_sec", "ksample/s")}.get(
+        os.environ.get("BENCH_METRIC", ""),
+        ("train_chunks_per_sec", "chunks/s"))
     print(json.dumps({
-        "metric": ("basecall_ksample_per_sec" if basecall
-                   else "train_chunks_per_sec"),
+        "metric": metric[0],
         "value": None,
-        "unit": "ksample/s" if basecall else "chunks/s",
+        "unit": metric[1],
         "vs_baseline": None,
         "error": message,
+    }))
+
+
+def main_serve():
+    """Third tracked metric (BENCH_METRIC=serve): END-TO-END CLI serving
+    — bin/basecall.py wall-clock over a synthetic realistic-length read
+    set (fast5 in -> fasta out, host chunking/stitching included),
+    median of 3 runs after a discarded warmup (shared compile cache).
+    BENCH_SERVE_NREADS / BENCH_SERVE_SAMPLES size the read set."""
+    import statistics
+    import tempfile
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "misc"))
+    import serve_bench
+
+    nreads = int(os.environ.get("BENCH_SERVE_NREADS", "25"))
+    nsamples = int(os.environ.get("BENCH_SERVE_SAMPLES", "100000"))
+    tmp = tempfile.mkdtemp(prefix="benchserve_")
+    reads_dir = os.path.join(tmp, "reads")
+    os.makedirs(reads_dir)
+    serve_bench.synth_fast5(os.path.join(reads_dir, "reads.fast5"),
+                            nreads, nsamples)
+    # persistent cache (see misc/serve_bench.py: remote compiles can
+    # take tens of minutes; warmth must survive across sessions)
+    env = dict(os.environ,
+               JAX_COMPILATION_CACHE_DIR=os.environ.get(
+                   "JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".jax_cache")),
+               JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1",
+               JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES="0")
+    walls = []
+    for rnd in range(4):            # warmup + 3 measured
+        r = serve_bench.run_variant(
+            "fasta", reads_dir, tmp, serve_bench.DEFAULT_MODEL, None, env)
+        if r is None:
+            emit_error("basecall.py failed (see serve_bench output)")
+            return
+        if rnd > 0:
+            walls.append(r[0])
+    med = statistics.median(walls)
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps({
+        "metric": "serve_ksample_per_sec",
+        "value": round(nreads * nsamples / med / 1e3, 1),
+        "unit": "ksample/s (CLI fast5->fasta, %d reads x %dk samples, "
+                "median of 3 warm runs)" % (nreads, nsamples // 1000),
+        "vs_baseline": None,
     }))
 
 
@@ -277,6 +329,8 @@ if __name__ == "__main__":
     try:
         if os.environ.get("BENCH_METRIC") == "basecall":
             main_basecall()
+        elif os.environ.get("BENCH_METRIC") == "serve":
+            main_serve()
         else:
             main()
     except Exception as exc:  # emit structured JSON even on failure

@@ -11,8 +11,20 @@ calling) into a multi-read fast5, then times the full CLI — fasta,
 fastq, beam, beam+fastq — reporting per-variant wall-clock and
 derived ksample/s, plus the CLI's own stage telemetry.
 
+Methodology (r4): the axon-tunnel link has a documented 3-6x wall-clock
+variance between sessions, so per-variant "best observed" numbers from
+different windows are not comparable (the r3 table had fasta slower
+than fastq for exactly this reason).  This script therefore runs all
+variants INTERLEAVED for --rounds rounds (one full variant cycle per
+round, same read set), discards a warmup round (first-process XLA
+compiles; a shared persistent compile cache serves the rest), and
+reports per-variant MEDIANS with the min-max spread.  fasta <= fastq <=
+beam within noise is the expected ordering; a violation means the
+window was bad, not the code.
+
 Usage: python misc/serve_bench.py [--nreads 100] [--samples 100000]
            [--variants fasta,fastq,beam,beam_fastq] [--model PATH]
+           [--rounds 5]
 """
 
 import argparse
@@ -68,6 +80,37 @@ def synth_fast5(path, nreads, nsamples, seed=0):
             raw.create_dataset("Signal", data=dacs, dtype="i2")
 
 
+def run_variant(variant, reads_dir, tmp, model, device, env, tag=""):
+    """One CLI invocation; returns (wall_seconds, nbases) or None."""
+    out = os.path.join(tmp, "calls_%s%s.%s" % (
+        variant, tag, "fastq" if "fastq" in variant else "fa"))
+    if os.path.exists(out):
+        os.unlink(out)          # basecall.py refuses to overwrite
+    cmd = [sys.executable, os.path.join(REPO, "bin", "basecall.py"),
+           "--output", out, "--jobs", str(os.cpu_count() or 1)
+           ] + VARIANTS[variant]
+    if device:
+        cmd += ["--device", device]
+    cmd += [reads_dir, model]
+    t0 = time.perf_counter()
+    res = subprocess.run(cmd, capture_output=True, text=True,
+                         timeout=7200, env=env)
+    dt = time.perf_counter() - t0
+    if res.returncode != 0:
+        print("%s FAILED rc=%d\n%s" % (variant, res.returncode,
+                                       res.stderr[-2000:]), flush=True)
+        return None
+    nbases = 0
+    with open(out) as fh:
+        for j, line in enumerate(fh):
+            if "fastq" in variant:
+                if j % 4 == 1:
+                    nbases += len(line.strip())
+            elif not line.startswith(">"):
+                nbases += len(line.strip())
+    return dt, nbases
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nreads", type=int, default=100)
@@ -76,6 +119,10 @@ def main():
     ap.add_argument("--model", default=DEFAULT_MODEL)
     ap.add_argument("--device", default=None,
                     help="forwarded to basecall.py --device")
+    ap.add_argument("--rounds", type=int, default=5,
+                    help="matched interleaved rounds (median reported); "
+                         "one extra warmup round runs first and is "
+                         "discarded")
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
 
@@ -87,40 +134,50 @@ def main():
     synth_fast5(os.path.join(reads_dir, "reads.fast5"),
                 args.nreads, args.samples)
 
+    # shared persistent compile cache: after the warmup round every
+    # invocation reuses the compiled programs, so the medians measure
+    # serving, not XLA compiles.  The cache lives in the REPO (same dir
+    # the test suite uses), not the bench tmp dir: the remote compile
+    # service has been observed to take 10-30 MINUTES per program in bad
+    # windows, so compile warmth must survive across bench sessions.
+    env = dict(os.environ,
+               JAX_COMPILATION_CACHE_DIR=os.environ.get(
+                   "JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(REPO, ".jax_cache")),
+               JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1",
+               JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES="0")
+
+    variants = args.variants.split(",")
     total_samples = args.nreads * args.samples
-    for variant in args.variants.split(","):
-        out = os.path.join(tmp, "calls_%s.%s" % (
-            variant, "fastq" if "fastq" in variant else "fa"))
-        cmd = [sys.executable, os.path.join(REPO, "bin", "basecall.py"),
-               "--output", out, "--jobs", str(os.cpu_count() or 1)
-               ] + VARIANTS[variant]
-        if args.device:
-            cmd += ["--device", args.device]
-        cmd += [reads_dir, args.model]
-        t0 = time.perf_counter()
-        res = subprocess.run(cmd, capture_output=True, text=True,
-                             timeout=7200)
-        dt = time.perf_counter() - t0
-        if res.returncode != 0:
-            print("%s FAILED rc=%d\n%s" % (variant, res.returncode,
-                                           res.stderr[-2000:]))
+    walls = {v: [] for v in variants}
+    bases = {v: 0 for v in variants}
+    for rnd in range(args.rounds + 1):
+        tag = "warmup" if rnd == 0 else "round %d/%d" % (rnd, args.rounds)
+        for variant in variants:
+            r = run_variant(variant, reads_dir, tmp, args.model,
+                            args.device, env)
+            # (same path each round: run_variant unlinks before running)
+            if r is None:
+                continue
+            dt, nb = r
+            print("# %-10s %-11s %7.1f s" % (tag, variant, dt),
+                  flush=True)
+            if rnd > 0:
+                walls[variant].append(dt)
+                bases[variant] = nb
+
+    print("\n== medians over %d matched interleaved rounds "
+          "(warmup discarded) ==" % args.rounds)
+    for variant in variants:
+        w = sorted(walls[variant])
+        if not w:
             continue
-        nbases = 0
-        with open(out) as fh:
-            for j, line in enumerate(fh):
-                if "fastq" in variant:
-                    if j % 4 == 1:
-                        nbases += len(line.strip())
-                elif not line.startswith(">"):
-                    nbases += len(line.strip())
-        # the CLI's own telemetry (ksample/s incl. everything)
-        tele = [ln for ln in res.stderr.splitlines()
-                if "ksample" in ln or "kbase" in ln]
-        print("%-11s wall=%7.1fs  %8.1f ksample/s  %7.1f kbase/s  "
-              "(%d bases)  cli:%s" %
-              (variant, dt, total_samples / dt / 1e3, nbases / dt / 1e3,
-               nbases, "; ".join(t.strip().lstrip("*") for t in tele)),
-              flush=True)
+        med = w[len(w) // 2] if len(w) % 2 else 0.5 * (
+            w[len(w) // 2 - 1] + w[len(w) // 2])
+        print("%-11s median=%7.1fs  (min %.1f  max %.1f)  "
+              "%8.1f ksample/s  %7.1f kbase/s" %
+              (variant, med, w[0], w[-1], total_samples / med / 1e3,
+               bases[variant] / med / 1e3), flush=True)
     if not args.keep:
         import shutil
         shutil.rmtree(tmp, ignore_errors=True)
