@@ -304,3 +304,17 @@ def test_crf_fused_cat_mod_selectors():
                                rtol=5e-3, atol=5e-2)
     np.testing.assert_allclose(np.asarray(grad[:T]), np.asarray(grad_ref),
                                rtol=2e-2, atol=5e-3)
+
+
+def test_fused_tile_budgets():
+    """Tile picker honors the measured scoped-VMEM limits: the canonical
+    production shape (S=40, L=512) keeps the bb=64 tile, while the wider
+    cat_mod lattice (S=45) must drop to bb=32 — bb=64 at S=45 blew the
+    16MB scoped-vmem limit by 0.5M on v5e (ops/pallas_crf.py:fused_tile)."""
+    assert pallas_crf.fused_tile(256, 40, 512) == (64, 8)
+    assert pallas_crf.fused_tile(256, 45, 512) == (32, 8)
+    # RNA production width: both fit at smaller tiles, neither bails
+    assert pallas_crf.fused_tile(256, 40, 1536) is not None
+    assert pallas_crf.fused_tile(256, 45, 1536) is not None
+    # batch not divisible by 8 -> no tile (caller falls back unfused)
+    assert pallas_crf.fused_tile(12, 40, 512) is None
