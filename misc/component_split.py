@@ -10,6 +10,19 @@ so successive differences attribute time to components.  Stages:
   grads      + full backward (value_and_grad)
   step       + clip + AdamW update (the real train step)
 
+plus a backward SUB-split (r4) that attributes "backward (all)" between
+the network and the loss:
+
+  net_grads  grad of net.apply(params, sig).sum() — network fwd + bwd
+             with a trivial cotangent (same backward compute shape as
+             the real step)
+  crf_fwd    CRF loss + logZ from PRECOMPUTED scores (no network)
+  crf_grads  + its backward — d(loss)/d(scores)
+
+so network bwd = net_grads - fwd, CRF+logZ bwd = crf_grads - crf_fwd,
+and the residual vs "backward (all)" is scheduling glue/overlap (can be
+negative when XLA overlaps the pieces in the combined program).
+
 Usage: python misc/component_split.py [--batch 256] [--shape dna|rna]
 """
 
@@ -29,6 +42,9 @@ def main():
     ap.add_argument("--shape", default="dna")
     ap.add_argument("--model", default="mLstm")
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="override chunk_len (0 = production shape); "
+                         "tiny values smoke-test the probe on CPU")
     args = ap.parse_args()
 
     import jax
@@ -39,7 +55,7 @@ def main():
     from ab_train_variants import make_batch
 
     rna = args.shape == "rna"
-    chunk_len = 16000 if rna else 4000
+    chunk_len = args.chunk or (16000 if rna else 4000)
     stride = 10 if rna else 5
     winlen = 31 if rna else 19
     cat_mod = args.model.endswith("_cat_mod")
@@ -99,6 +115,42 @@ def main():
             lambda p: loss_fn(p, batch, 1.0, 1.0))(params)
         return loss + sum(jnp.sum(x) for x in jax.tree.leaves(g))
 
+    # -- backward sub-split pieces (see module docstring) --
+    from taiyaki_tpu.ops import flipflop as ffops
+
+    def crf_from_scores(outputs):
+        nblk, ntrans = outputs.shape[0], outputs.shape[2]
+        if cat_mod:
+            ntrans = ntrans - int(cmo[-1])
+            lossvector = ffops.cat_mod_flipflop_loss(
+                outputs, batch.seqs, batch.seqlens, batch.mod_cats,
+                cmo, mcw, 1.0)
+        else:
+            lossvector = ffops.crf_flipflop_loss(
+                outputs, batch.seqs, batch.seqlens, 1.0)
+        logz = ffops.flipflop_logz(outputs[:, :, :ntrans]) / nblk
+        lossvector = lossvector + jnp.where(batch.seqlens > 0, logz, 0.0)
+        return jnp.sum(lossvector) / jnp.maximum(
+            jnp.sum(batch.seqlens > 0), 1)
+
+    scores0 = jax.jit(lambda p: net.apply(p, batch.signal))(params)
+    scores0 = jax.block_until_ready(scores0)
+
+    @jax.jit
+    def net_grads(params, batch):
+        v, g = jax.value_and_grad(
+            lambda p: net.apply(p, batch.signal).sum())(params)
+        return v + sum(jnp.sum(x) for x in jax.tree.leaves(g))
+
+    @jax.jit
+    def crf_fwd(scores):
+        return crf_from_scores(scores)
+
+    @jax.jit
+    def crf_grads(scores):
+        v, g = jax.value_and_grad(crf_from_scores)(scores)
+        return v + jnp.sum(g)
+
     step_fn = train.jit_train_step(
         train.make_train_step(net, opt, cat_mod, cmo, mcw), mesh=None)
 
@@ -111,6 +163,9 @@ def main():
     stages = [("fwd", lambda: fwd(params, batch)),
               ("loss_fwd", lambda: loss_fwd(params, batch).sum()),
               ("grads", lambda: grads(params, batch)),
+              ("net_grads", lambda: net_grads(params, batch)),
+              ("crf_fwd", lambda: crf_fwd(scores0)),
+              ("crf_grads", lambda: crf_grads(scores0)),
               ("step", run_step)]
     times = {}
     for name, fn in stages:
@@ -129,6 +184,14 @@ def main():
     print("CRF+logZ fwd         %7.2f ms" % (times["loss_fwd"] - times["fwd"]))
     print("backward (all)       %7.2f ms" % (times["grads"] - times["loss_fwd"]))
     print("optimizer/clip/misc  %7.2f ms" % (times["step"] - times["grads"]))
+    net_bwd = times["net_grads"] - times["fwd"]
+    crf_bwd = times["crf_grads"] - times["crf_fwd"]
+    print("-- backward sub-split --")
+    print("network bwd          %7.2f ms  (net_grads - fwd)" % net_bwd)
+    print("CRF+logZ bwd         %7.2f ms  (crf_grads - crf_fwd; crf_fwd "
+          "standalone %.2f)" % (crf_bwd, times["crf_fwd"]))
+    print("glue/overlap resid   %7.2f ms  (backward-all - pieces)"
+          % (times["grads"] - times["loss_fwd"] - net_bwd - crf_bwd))
     print("total step           %7.2f ms  (%.0f chunks/s)"
           % (times["step"], args.batch / times["step"] * 1e3))
 
