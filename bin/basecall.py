@@ -155,19 +155,26 @@ class Basecaller:
                  1.0 - p], axis=0)
 
         def call_chunks(params, chunks):
+            # Return a dict holding ONLY what this mode consumes: on
+            # remote-execution runtimes every fetched output array costs
+            # a fixed per-array RPC (~tens of ms) regardless of size —
+            # even zero-sized placeholders — so fasta mode returns just
+            # the Viterbi paths (1 fetch/batch, was 4).  gather()
+            # synthesizes the absent pieces as host-side empties.
             out = net.apply(params, chunks)
             trans = out[:, :, :n_can_state] * temperature
-            mods = out[:, :, n_can_state:] if want_mods else jnp.zeros(
-                (out.shape[0], out.shape[1], 0), out.dtype)
+            res = {}
+            if want_mods:
+                res["mods"] = out[:, :, n_can_state:]
             if posterior:
                 trans = jnp.log(dec.flipflop_make_trans(trans) + 1e-8)
             _, _, paths = dec.flipflop_viterbi(trans)
-            errprobs = (errprobs_on_device(trans, paths) if want_errprobs
-                        else jnp.zeros((0, paths.shape[1]), jnp.float32))
-            if not want_trans:
-                trans = jnp.zeros((trans.shape[0], trans.shape[1], 0),
-                                  trans.dtype)
-            return trans, paths, mods, errprobs
+            res["paths"] = paths
+            if want_errprobs:
+                res["errprobs"] = errprobs_on_device(trans, paths)
+            if want_trans:
+                res["trans"] = trans
+            return res
 
         # params uploaded once; passing host numpy would re-transfer the
         # whole pytree on every call
@@ -183,9 +190,16 @@ class Basecaller:
             vec = NamedSharding(mesh, P(None, "data"))
             mat = NamedSharding(mesh, P(None, "data", None))
             self.params = jax.device_put(params, rep)
+            out_sh = {"paths": vec}
+            if want_mods:
+                out_sh["mods"] = mat
+            if want_errprobs:
+                out_sh["errprobs"] = vec
+            if want_trans:
+                out_sh["trans"] = mat
             self._fn = jax.jit(call_chunks,
                                in_shardings=(rep, mat),
-                               out_shardings=(mat, vec, mat, vec))
+                               out_shardings=out_sh)
         else:
             self.params = jax.device_put(params)
             self._fn = jax.jit(call_chunks)
@@ -212,13 +226,23 @@ class Basecaller:
         """Fetch submitted results -> (trans [nblk, nchunk, S] (or 0 cols
         when not wanted), paths [nblk+1, nchunk],
         mods [nblk, nchunk, nmodcol], errprobs [nblk+1, nchunk] (or 0
-        rows))."""
+        rows)).  Pieces the device program didn't compute (see
+        call_chunks) are synthesized as host-side empty arrays — never
+        fetched, so a fasta call costs ONE device->host transfer."""
         out_trans, out_paths, out_mods, out_errp = [], [], [], []
-        for k, (trans, paths, mods, errp) in handles:
-            out_trans.append(np.asarray(trans[:, :k]))
-            out_paths.append(np.asarray(paths[:, :k]))
-            out_mods.append(np.asarray(mods[:, :k]))
-            out_errp.append(np.asarray(errp[:, :k]))
+        for k, res in handles:
+            paths = np.asarray(res["paths"][:, :k])
+            nblk = paths.shape[0] - 1
+            out_paths.append(paths)
+            out_trans.append(np.asarray(res["trans"][:, :k])
+                             if "trans" in res
+                             else np.zeros((nblk, k, 0), np.float32))
+            out_mods.append(np.asarray(res["mods"][:, :k])
+                            if "mods" in res
+                            else np.zeros((nblk, k, 0), np.float32))
+            out_errp.append(np.asarray(res["errprobs"][:, :k])
+                            if "errprobs" in res
+                            else np.zeros((0, k), np.float32))
         return (np.concatenate(out_trans, axis=1),
                 np.concatenate(out_paths, axis=1),
                 np.concatenate(out_mods, axis=1),
