@@ -382,6 +382,60 @@ def main(args):
     next_batches = prefetch.submit(sample_iteration)
     time_last = time.time()
     logs.main.write('* Training\n')
+
+    # One-step-delayed fetch pipeline: iteration k's loss/grad_maxs are
+    # device handles consumed while iteration k+1 runs on the device, so
+    # the two per-iteration device->host RPCs (which have a fixed
+    # per-call latency floor on remote-execution runtimes) overlap the
+    # next step instead of serializing between steps.  Cost: the
+    # gradient capper's rolling-MAD window lags one step (immaterial for
+    # a 1000-sample window, and exactly inf until the window fills), and
+    # the non-finite-loss guard fires one iteration late.
+    pending = None
+
+    def process_iteration(p):
+        nonlocal total_samples, total_bases, time_last
+        it = p['iter']
+        loss_sum = sum(float(l) for l in p['losses'])
+        fval = loss_sum / args.sub_batches
+        if not np.isfinite(fval):
+            # Numerical-health guard (reference: ctc.pyx:62-65 advice).
+            logs.main.write(
+                '\n* Error: loss is not finite at iteration {}.\n'
+                '* Try restarting from a checkpoint with a lower learning '
+                'rate.\n'.format(it + 1))
+            sys.exit(1)
+        grad_maxs_np = np.asarray(p['grad_maxs'])
+        capper.update(grad_maxs_np)
+        if is_lead:
+            logs.batch.write(BATCH_TMPLT.format(
+                it + 1, fval,
+                ','.join(str(float(g)) for g in grad_maxs_np),
+                ','.join('NA' if not np.isfinite(t) else str(float(t))
+                         for t in p['threshs']),
+                float(schedule(it)), p['chunk_len']))
+        score_smoothed.update(fval)
+        logs.main.write('.')
+        total_samples += p['samples']
+        total_bases += p['bases']
+        if (it + 1) % DOTROWLENGTH == 0:
+            dt = time.time() - time_last
+            logs.main.write(MAIN_LOG_POLKA_TMPLT.format(
+                (it + 1) // DOTROWLENGTH, score_smoothed.value, dt,
+                total_samples / 1000.0 / dt, total_bases / 1000.0 / dt,
+                float(schedule(it))))
+            if args.full_filter_status:
+                for k, v in rejection_dict.items():
+                    logs.main.write(' {}:{} '.format(k, v))
+            else:
+                n_tot = sum(rejection_dict.values())
+                n_fail = n_tot - rejection_dict['pass']
+                logs.main.write('  {:.1%} chunks filtered'.format(
+                    n_fail / max(n_tot, 1)))
+            logs.main.write('\n')
+            time_last = time.time()
+            total_bases = total_samples = 0
+
     for curr_iter in range(args.niteration):
         if args.profile and curr_iter == 10:
             jax.profiler.start_trace(os.path.join(args.outdir, 'profile'))
@@ -397,66 +451,45 @@ def main(args):
         for k, v in rejections.items():
             rejection_dict[k] += v
 
-        loss_sum = 0.0
+        losses = []
+        iter_samples = iter_bases = 0
+        used_threshs = capper.thresholds.copy()
         if args.sub_batches == 1:
             for batch in batches:
                 params, opt_state, loss, grad_maxs = step_fn(
                     params, opt_state, batch, sharpen, mod_factor,
-                    jnp.asarray(capper.thresholds))
-                loss_sum += float(loss)
-                total_samples += batch.signal.size
-                total_bases += int(np.sum(batch.seqlens))
+                    jnp.asarray(used_threshs))
+                losses.append(loss)
+                iter_samples += batch.signal.size
+                iter_bases += int(np.sum(batch.seqlens))
         else:
             acc = None
             for batch in batches:
                 loss, grads = grad_fn(params, batch, sharpen, mod_factor)
                 acc = train.accumulate_grads(acc, grads)
-                loss_sum += float(loss)
-                total_samples += batch.signal.size
-                total_bases += int(np.sum(batch.seqlens))
+                losses.append(loss)
+                iter_samples += batch.signal.size
+                iter_bases += int(np.sum(batch.seqlens))
             params, opt_state, grad_maxs = apply_fn(
                 params, opt_state, acc, float(args.sub_batches),
-                jnp.asarray(capper.thresholds))
-        fval = loss_sum / args.sub_batches
-        if not np.isfinite(fval):
-            # Numerical-health guard (reference: ctc.pyx:62-65 advice).
-            logs.main.write(
-                '\n* Error: loss is not finite at iteration {}.\n'
-                '* Try restarting from a checkpoint with a lower learning '
-                'rate.\n'.format(curr_iter + 1))
-            sys.exit(1)
-        grad_maxs_np = np.asarray(grad_maxs)
-        prev_threshs = capper.thresholds.copy()
-        capper.update(grad_maxs_np)
+                jnp.asarray(used_threshs))
 
-        if is_lead:
-            logs.batch.write(BATCH_TMPLT.format(
-                curr_iter + 1, fval,
-                ','.join(str(float(g)) for g in grad_maxs_np),
-                ','.join('NA' if not np.isfinite(t) else str(float(t))
-                         for t in prev_threshs),
-                float(schedule(curr_iter)), batch_chunk_len))
-        score_smoothed.update(fval)
-        logs.main.write('.')
+        # consume the PREVIOUS iteration's results while this one runs
+        if pending is not None:
+            process_iteration(pending)
+        pending = dict(iter=curr_iter, losses=losses, grad_maxs=grad_maxs,
+                       threshs=used_threshs, chunk_len=batch_chunk_len,
+                       samples=iter_samples, bases=iter_bases)
 
-        if (curr_iter + 1) % DOTROWLENGTH == 0:
-            dt = time.time() - time_last
-            logs.main.write(MAIN_LOG_POLKA_TMPLT.format(
-                (curr_iter + 1) // DOTROWLENGTH, score_smoothed.value, dt,
-                total_samples / 1000.0 / dt, total_bases / 1000.0 / dt,
-                float(schedule(curr_iter))))
-            if args.full_filter_status:
-                for k, v in rejection_dict.items():
-                    logs.main.write(' {}:{} '.format(k, v))
-            else:
-                n_tot = sum(rejection_dict.values())
-                n_fail = n_tot - rejection_dict['pass']
-                logs.main.write('  {:.1%} chunks filtered'.format(
-                    n_fail / max(n_tot, 1)))
-            logs.main.write('\n')
-            time_last = time.time()
-            total_bases = total_samples = 0
-
+        if (curr_iter + 1) % args.save_every == 0:
+            # flush the pipeline so the checkpoint's log lines land
+            # after this iteration's batch line, exactly as before the
+            # pipelined fetches.  Unconditional (not is_lead-gated):
+            # capper updates must stay in lockstep across hosts — the
+            # thresholds feed the next step's clipping on every host.
+            if pending is not None:
+                process_iteration(pending)
+                pending = None
         if (curr_iter + 1) % args.save_every == 0 and is_lead:
             saved = helpers.save_model(
                 args.outdir, net, params, model_source, model_kwargs,
@@ -476,6 +509,9 @@ def main(args):
             logs.validation.write(VAL_TMPLT.format(curr_iter + 1, rloss))
             time_last = time.time()
 
+    if pending is not None:
+        process_iteration(pending)
+        pending = None
     prefetch.shutdown(wait=False)
     if args.profile and 10 < args.niteration <= 15:
         jax.profiler.stop_trace()
