@@ -90,32 +90,36 @@ def main_serve():
 
     nreads = int(os.environ.get("BENCH_SERVE_NREADS", "25"))
     nsamples = int(os.environ.get("BENCH_SERVE_SAMPLES", "100000"))
-    tmp = tempfile.mkdtemp(prefix="benchserve_")
-    reads_dir = os.path.join(tmp, "reads")
-    os.makedirs(reads_dir)
-    serve_bench.synth_fast5(os.path.join(reads_dir, "reads.fast5"),
-                            nreads, nsamples)
-    # persistent cache (see misc/serve_bench.py: remote compiles can
-    # take tens of minutes; warmth must survive across sessions)
-    env = dict(os.environ,
-               JAX_COMPILATION_CACHE_DIR=os.environ.get(
-                   "JAX_COMPILATION_CACHE_DIR",
-                   os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                ".jax_cache")),
-               JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1",
-               JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES="0")
-    walls = []
-    for rnd in range(4):            # warmup + 3 measured
-        r = serve_bench.run_variant(
-            "fasta", reads_dir, tmp, serve_bench.DEFAULT_MODEL, None, env)
-        if r is None:
-            emit_error("basecall.py failed (see serve_bench output)")
-            return
-        if rnd > 0:
-            walls.append(r[0])
-    med = statistics.median(walls)
     import shutil
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = tempfile.mkdtemp(prefix="benchserve_")
+    try:
+        reads_dir = os.path.join(tmp, "reads")
+        os.makedirs(reads_dir)
+        serve_bench.synth_fast5(os.path.join(reads_dir, "reads.fast5"),
+                                nreads, nsamples)
+        # persistent cache (see misc/serve_bench.py: remote compiles can
+        # take tens of minutes; warmth must survive across sessions)
+        env = dict(os.environ,
+                   JAX_COMPILATION_CACHE_DIR=os.environ.get(
+                       "JAX_COMPILATION_CACHE_DIR",
+                       os.path.join(
+                           os.path.dirname(os.path.abspath(__file__)),
+                           ".jax_cache")),
+                   JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1",
+                   JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES="0")
+        walls = []
+        for rnd in range(4):            # warmup + 3 measured
+            r = serve_bench.run_variant(
+                "fasta", reads_dir, tmp, serve_bench.DEFAULT_MODEL, None,
+                env)
+            if r is None:
+                emit_error("basecall.py failed (see serve_bench output)")
+                return
+            if rnd > 0:
+                walls.append(r[0])
+        med = statistics.median(walls)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps({
         "metric": "serve_ksample_per_sec",
         "value": round(nreads * nsamples / med / 1e3, 1),

@@ -61,8 +61,8 @@ def get_train_flipflop_parser():
         '--sharpen', default=(1.0, 1.0, 25000), nargs=3,
         metavar=('min', 'max', 'niter'), action=ParseToNamedTuple,
         type=(Positive(float), Positive(float), Positive(int)),
-        help='Increase sharpening factor linearly from "min" to "max" over '
-             '"niter" iterations')
+        help='Linear sharpening-factor ramp: "min" at iteration 0 rising '
+             'to "max" after "niter" iterations')
     trn_grp.add_argument(
         '--warmup_batches', type=int, default=200,
         help='Warmup length: ramp the learning rate up over the first n '

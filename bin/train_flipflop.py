@@ -396,16 +396,24 @@ def main(args):
     def process_iteration(p):
         nonlocal total_samples, total_bases, time_last
         it = p['iter']
-        loss_sum = sum(float(l) for l in p['losses'])
-        fval = loss_sum / args.sub_batches
+        # ONE transfer call for all of the iteration's scalars: separate
+        # float(loss) / np.asarray(grad_maxs) fetches each pay the
+        # per-RPC latency floor and cost +52% ms/step at the production
+        # config; a single device_get is measured at the chained-dispatch
+        # ceiling (misc/fetch_overlap_probe.py, docs/performance.md).
+        losses_np, grad_maxs_np = jax.device_get(
+            (p['losses'], p['grad_maxs']))
+        fval = float(sum(losses_np)) / args.sub_batches
         if not np.isfinite(fval):
             # Numerical-health guard (reference: ctc.pyx:62-65 advice).
+            # Divergence began at or before the reported iteration (the
+            # pipelined fetch is one step delayed).
             logs.main.write(
                 '\n* Error: loss is not finite at iteration {}.\n'
                 '* Try restarting from a checkpoint with a lower learning '
                 'rate.\n'.format(it + 1))
             sys.exit(1)
-        grad_maxs_np = np.asarray(p['grad_maxs'])
+        grad_maxs_np = np.asarray(grad_maxs_np)
         capper.update(grad_maxs_np)
         if is_lead:
             logs.batch.write(BATCH_TMPLT.format(

@@ -72,12 +72,13 @@ def main():
 
     warm()
 
-    def run(mode):
+    def run(mode, ring=8):
         nonlocal params, opt_state
         best = np.inf
         for _ in range(args.windows):
             t0 = time.perf_counter()
             pending = None
+            backlog = []
             for _ in range(args.steps):
                 params, opt_state, loss, gm = step_fn(
                     params, opt_state, batch, 1.0, 1.0, threshs)
@@ -89,9 +90,21 @@ def main():
                         float(pending[0])
                         np.asarray(pending[1])
                     pending = (loss, gm)
+                elif mode == "pipelined1":
+                    # one-step delay, ONE transfer call for both values
+                    if pending is not None:
+                        jax.device_get(pending)
+                    pending = (loss, gm)
+                elif mode == "ring":
+                    # fetch the whole backlog in one call every `ring` steps
+                    backlog.append((loss, gm))
+                    if len(backlog) >= ring:
+                        jax.device_get(backlog)
+                        backlog = []
             if pending is not None:
-                float(pending[0])
-                np.asarray(pending[1])
+                jax.device_get(pending)
+            if backlog:
+                jax.device_get(backlog)
             float(loss)          # barrier for chained mode
             best = min(best, (time.perf_counter() - t0) / args.steps)
         print("%-10s %7.2f ms/step  (%.0f chunks/s)"
@@ -101,8 +114,12 @@ def main():
     t_chain = run("chained")
     t_sync = run("sync")
     t_pipe = run("pipelined")
-    print("sync overhead vs chained: +%.1f%%   pipelined: +%.1f%%"
-          % (100 * (t_sync / t_chain - 1), 100 * (t_pipe / t_chain - 1)))
+    t_pipe1 = run("pipelined1")
+    t_ring = run("ring")
+    print("overhead vs chained:  sync +%.1f%%  pipelined +%.1f%%  "
+          "pipelined1 +%.1f%%  ring8 +%.1f%%"
+          % (100 * (t_sync / t_chain - 1), 100 * (t_pipe / t_chain - 1),
+             100 * (t_pipe1 / t_chain - 1), 100 * (t_ring / t_chain - 1)))
 
 
 if __name__ == "__main__":

@@ -34,5 +34,31 @@ def interp(flag):
     parity tests to pin that pallas_call partitions correctly inside a
     GSPMD-sharded jit on a multi-device mesh (read each call, not
     cached: tests toggle it per-case)."""
-    return bool(flag) or os.environ.get(
-        "TAIYAKI_TPU_PALLAS_INTERPRET") == "1"
+    if os.environ.get("TAIYAKI_TPU_PALLAS_INTERPRET") == "1":
+        _warn_interpret_once()
+        return True
+    return bool(flag)
+
+
+_interpret_warned = False
+
+
+def _warn_interpret_once():
+    """One-time stderr notice when the test-only interpret override engages
+    on a real TPU backend, where it silently costs orders of magnitude."""
+    global _interpret_warned
+    if _interpret_warned:
+        return
+    _interpret_warned = True
+    try:
+        import jax
+        backend = jax.default_backend()
+    except Exception:
+        backend = "unknown"
+    if backend not in ("cpu",):
+        import sys
+        sys.stderr.write(
+            "taiyaki_tpu: TAIYAKI_TPU_PALLAS_INTERPRET=1 is forcing "
+            "interpret-mode Pallas kernels on backend '{}' — this is a "
+            "test-only switch and is orders of magnitude slower than "
+            "compiled kernels.\n".format(backend))

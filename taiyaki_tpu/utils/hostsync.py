@@ -57,6 +57,10 @@ class MaxReduceServer:
         self._sock.listen(n_procs)
         self.port = self._sock.getsockname()[1]
         self._lock = threading.Lock()
+        # Serializes every server-side sendall: reply fan-out and the
+        # peer-lost sentinel run on different threads, and interleaved
+        # writes to one client socket could corrupt the newline framing.
+        self._send_lock = threading.Lock()
         self._pending = {}      # tag -> list of (value, conn)
         self._conns = []
         self._closing = False
@@ -107,7 +111,8 @@ class MaxReduceServer:
             conns = list(self._conns)
         for c in conns:
             try:
-                c.sendall(b"! peer-lost\n")
+                with self._send_lock:
+                    c.sendall(b"! peer-lost\n")
             except OSError:
                 pass
 
@@ -117,7 +122,8 @@ class MaxReduceServer:
                 # job already failed: bounce every late submission so no
                 # host ever waits out a socket timeout
                 try:
-                    conn.sendall(b"! peer-lost\n")
+                    with self._send_lock:
+                        conn.sendall(b"! peer-lost\n")
                 except OSError:
                     pass
                 return
@@ -129,7 +135,8 @@ class MaxReduceServer:
         reply = "{} {}\n".format(tag, max(v for v, _ in entries)).encode()
         for _, c in entries:
             try:
-                c.sendall(reply)
+                with self._send_lock:
+                    c.sendall(reply)
             except OSError:
                 pass            # a dead peer surfaces on its own recv
 
