@@ -49,6 +49,89 @@ def call_bwa_mem(fin, fout, genome, clargs=""):
                                    shell=True, universal_newlines=True)
 
 
+_COMP = str.maketrans("ACGTacgt", "TGCAtgca")
+
+
+def _revcomp(seq):
+    return seq.translate(_COMP)[::-1]
+
+
+def _iter_fastx(fn):
+    """(name, sequence) records from fasta or fastq."""
+    with open(fn) as fh:
+        first = fh.read(1)
+        fh.seek(0)
+        if first == ">":
+            name, parts = None, []
+            for line in fh:
+                line = line.strip()
+                if line.startswith(">"):
+                    if name is not None:
+                        yield name, "".join(parts)
+                    name, parts = line[1:].split()[0], []
+                elif line:
+                    parts.append(line)
+            if name is not None:
+                yield name, "".join(parts)
+        else:
+            while True:
+                header = fh.readline()
+                if not header:
+                    return
+                seq = fh.readline().strip()
+                fh.readline()
+                fh.readline()
+                yield header[1:].split()[0], seq
+
+
+def builtin_align(fin, fout, genome):
+    """Align queries with the framework's own glocal affine aligner
+    (taiyaki_tpu.decodeutil.seq_align, C++) when bwa is unavailable.
+
+    Every query is aligned against every reference sequence on both
+    strands and the best-scoring hit is written as a SAM record with
+    CIGAR + NM, which is all the assessment consumes.  Exact DP, no
+    seeding — right for basecall-accuracy scale (reads vs their known
+    per-read references), not for genome-scale mapping."""
+    from taiyaki_tpu import decodeutil
+
+    refs = list(_iter_fastx(genome))
+    with open(fout, "w") as out:
+        out.write("@HD\tVN:1.6\tSO:unknown\n")
+        for rname, rseq in refs:
+            out.write("@SQ\tSN:{}\tLN:{}\n".format(rname, len(rseq)))
+        out.write("@PG\tID:seq_align\tPN:taiyaki_tpu.decodeutil."
+                  "seq_align\n")
+        for qname, qseq in _iter_fastx(fin):
+            if not qseq:
+                continue
+            best = None
+            for rname, rseq in refs:
+                if not rseq:
+                    continue
+                for flag, seq in ((0, qseq), (16, _revcomp(qseq))):
+                    score, rs, re, cigar, nm = decodeutil.seq_align(
+                        seq, rseq)
+                    if best is None or score > best[0]:
+                        best = (score, flag, rname, rs, cigar, nm, seq)
+            if best is None:
+                out.write("{}\t4\t*\t0\t0\t*\t*\t0\t0\t{}\t*\n".format(
+                    qname, qseq))
+                continue
+            score, flag, rname, rs, cigar, nm, seq = best
+            cigstr = "".join("{}{}".format(n, op) for op, n in cigar)
+            out.write("{}\t{}\t{}\t{}\t60\t{}\t*\t0\t0\t{}\t*\tNM:i:{}"
+                      "\tAS:i:{}\n".format(
+                          qname, flag, rname, rs + 1, cigstr, seq, nm,
+                          score))
+    return "Aligned {} with the built-in aligner.\n".format(fin)
+
+
+def _have_bwa():
+    from shutil import which
+    return which("bwa") is not None
+
+
 def _looks_like_alignment(fn):
     """SAM/BAM detection that cannot misfire on FASTQ: FASTQ records
     also start with '@' (and .fastq.gz shares the gzip magic), so
@@ -87,8 +170,13 @@ def main():
             align_fn = "{}.sam".format(os.path.splitext(fn)[0])
             sys.stdout.write("Aligning {}...\n".format(fn))
             try:
-                out = call_bwa_mem(fn, align_fn, args.reference,
-                                   args.bwa_mem_args)
+                if _have_bwa():
+                    out = call_bwa_mem(fn, align_fn, args.reference,
+                                       args.bwa_mem_args)
+                else:
+                    sys.stdout.write("bwa not found; using the built-in "
+                                     "aligner.\n")
+                    out = builtin_align(fn, align_fn, args.reference)
                 sys.stdout.write(out)
             except Exception:
                 sys.stderr.write("{}: something went wrong, skipping\n\n{}\n"

@@ -18,7 +18,8 @@ from taiyaki_tpu.flipflopfings import nbase_flipflop
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "beamsearch.cpp")
 _SRCS = [_SRC, os.path.join(_DIR, "squiggleviterbi.cpp"),
-         os.path.join(_DIR, "remapviterbi.cpp")]
+         os.path.join(_DIR, "remapviterbi.cpp"),
+         os.path.join(_DIR, "seqalign.cpp")]
 _LIB_PATH = os.path.join(_DIR, "_libdecodeutil.so")
 _LOCK = threading.Lock()
 _LIB = None
@@ -74,6 +75,13 @@ def _get_lib():
         lib.tt_flipflop_remap_viterbi.argtypes = [
             f32p, ctypes.c_size_t, ctypes.c_size_t, i32p, i32p,
             ctypes.c_size_t, ctypes.c_double, i32p]
+        lib.tt_seq_align.restype = ctypes.c_int32
+        lib.tt_seq_align.argtypes = [
+            i8p, ctypes.c_size_t, i8p, ctypes.c_size_t,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            i32p, i32p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32)]
         _LIB = lib
         return lib
 
@@ -200,3 +208,49 @@ def remap_viterbi(scores, stay_index, step_index, localpen):
         scores, T, nstate, stay_index, step_index, M, float(localpen),
         path)
     return float(score), path
+
+
+_ALIGN_OPS = "MID"
+_BASE_CODE = {"A": 0, "C": 1, "G": 2, "T": 3,
+              "a": 0, "c": 1, "g": 2, "t": 3}
+
+
+def _encode_seq(seq):
+    return np.array([_BASE_CODE.get(b, -1) for b in seq], dtype=np.int8)
+
+
+def seq_align(query, ref, match=1, mismatch=2, gap_open=2, gap_extend=1):
+    """Glocal affine-gap alignment of one query to one reference (C++).
+
+    Query is global (aligned end to end), reference ends are free —
+    the right shape for scoring a basecall against its known reference.
+    Scoring defaults match the reference framework's bwa-mem flags
+    (misc/align.py: -A 1 -B 2 -O 2 -E 1).  This is the built-in
+    stand-in for bwa in environments without an aligner binary
+    (reference misc/align.py requires external bwa).
+
+    Args:
+        query, ref: base strings (ACGT; anything else never matches).
+
+    Returns:
+        (score, ref_start, ref_end, cigar, nm) — cigar is a list of
+        (op, length) with op in "MID"; nm is the SAM NM edit count.
+    """
+    q = _encode_seq(query)
+    r = _encode_seq(ref)
+    cap = 2 * (len(q) + len(r)) + 4
+    ops = np.empty(cap, dtype=np.int32)
+    lens = np.empty(cap, dtype=np.int32)
+    ncig = ctypes.c_int32(cap)
+    rs = ctypes.c_int32(0)
+    re = ctypes.c_int32(0)
+    nm = ctypes.c_int32(0)
+    score = _get_lib().tt_seq_align(
+        q, len(q), r, len(r), int(match), int(mismatch), int(gap_open),
+        int(gap_extend), ops, lens, ctypes.byref(ncig), ctypes.byref(rs),
+        ctypes.byref(re), ctypes.byref(nm))
+    if score <= -(2 ** 29):
+        raise RuntimeError("alignment failed (empty input or cigar "
+                           "capacity exceeded)")
+    cigar = [(_ALIGN_OPS[ops[i]], int(lens[i])) for i in range(ncig.value)]
+    return int(score), int(rs.value), int(re.value), cigar, int(nm.value)
