@@ -36,15 +36,24 @@ MXU_BF16 = 197e12
 HBM_BW = 819e9
 
 
+def _barrier(out):
+    """True execution barrier on remote-execution runtimes: fetch one
+    scalar (block_until_ready is dispatch-only there — see
+    docs/performance.md 'Timing on axon')."""
+    import jax.numpy as jnp
+    leaf = out[0] if isinstance(out, (tuple, list)) else out
+    return float(jnp.asarray(leaf).ravel()[0].astype(jnp.float32))
+
+
 def bench(fn, *args, iters=20):
-    import jax
-    out = jax.block_until_ready(fn(*args))
+    _barrier(fn(*args))
     best = np.inf
     for _ in range(3):
         t0 = time.perf_counter()
+        out = None
         for _ in range(iters):
             out = fn(*args)
-        jax.block_until_ready(out)
+        _barrier(out)
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 
@@ -129,8 +138,9 @@ def main():
     try:
         scores_p = jnp.pad(lp, [(0, 0), (0, 0), (0, 128 - S)],
                            constant_values=-1e30)
-        lz_fwd = jax.jit(functools.partial(pallas_logz.logz_forward,
-                                           nbase=4))
+        lz_fwd = jax.jit(functools.partial(
+            pallas_logz.logz_forward, nbase=4,
+            block_t=pallas_logz.block_t_for(B)))
         t_lz = bench(lambda: lz_fwd(scores_p))
         print("logZ fwd                  %7.3f ms" % (t_lz * 1e3))
     except Exception as e:  # signature drift — report, don't die

@@ -309,8 +309,14 @@ def fused_tile(batch_size, nstate, L):
         bb //= 2
     if batch_size % bb != 0 or 4 * bb * nstate * L > 5_500_000:
         return None
-    bt = 8
-    while bt > 1 and 4 * bt * bb * L * 2 > 2_500_000:
+    # Time blocking: bigger bt amortizes the per-block selection dots
+    # and grid machinery.  The r5 CRF roofline (misc/crf_roofline.py)
+    # measured bt=16 at the RNA shape (bb=16, L=1536, 3.1M of stream
+    # blocks) -7% fwd / -11% bwd vs bt=8, while bt=16 at the DNA tile
+    # (bb=64, L=512, 4.2M) exceeds scoped VMEM on v5e — the working
+    # budget sits between, hence 3.5M.
+    bt = 16
+    while bt > 1 and 4 * bt * bb * L * 2 > 3_500_000:
         bt //= 2
     return bb, bt
 
