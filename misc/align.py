@@ -1,6 +1,8 @@
 #!/usr/bin/env python3
-"""Align basecalls to a reference (bwa-mem wrapper) and assess accuracy
-(reference: misc/align.py).  Requires `bwa` on PATH for alignment; SAM/BAM
+"""Align basecalls to a reference and assess accuracy
+(reference: misc/align.py).  Uses `bwa mem` when on PATH; otherwise the
+framework's built-in exact glocal aligner (right for per-read
+references, not genome-scale mapping — see builtin_align).  SAM/BAM
 inputs skip straight to assessment."""
 
 import argparse
@@ -49,16 +51,21 @@ def call_bwa_mem(fin, fout, genome, clargs=""):
                                    shell=True, universal_newlines=True)
 
 
-_COMP = str.maketrans("ACGTacgt", "TGCAtgca")
-
-
 def _revcomp(seq):
-    return seq.translate(_COMP)[::-1]
+    from taiyaki_tpu.bio import reverse_complement
+    return reverse_complement(seq)
+
+
+def _open_text(fn):
+    if fn.endswith(".gz"):
+        import gzip
+        return gzip.open(fn, "rt")
+    return open(fn)
 
 
 def _iter_fastx(fn):
-    """(name, sequence) records from fasta or fastq."""
-    with open(fn) as fh:
+    """(name, sequence) records from fasta or fastq (optionally .gz)."""
+    with _open_text(fn) as fh:
         first = fh.read(1)
         fh.seek(0)
         if first == ">":
@@ -76,7 +83,7 @@ def _iter_fastx(fn):
         else:
             while True:
                 header = fh.readline()
-                if not header:
+                if not header or not header.strip():
                     return
                 seq = fh.readline().strip()
                 fh.readline()
@@ -92,9 +99,13 @@ def builtin_align(fin, fout, genome):
     strands and the best-scoring hit is written as a SAM record with
     CIGAR + NM, which is all the assessment consumes.  Exact DP, no
     seeding — right for basecall-accuracy scale (reads vs their known
-    per-read references), not for genome-scale mapping."""
+    per-read references), not for genome-scale mapping: pairs whose DP
+    matrix would exceed ~200 MB are skipped with a warning (install bwa
+    for genome-scale references)."""
     from taiyaki_tpu import decodeutil
 
+    max_dp_cells = 2 * 10 ** 8   # ~200 MB of 1-byte traceback per pair
+    warned_big = False
     refs = list(_iter_fastx(genome))
     with open(fout, "w") as out:
         out.write("@HD\tVN:1.6\tSO:unknown\n")
@@ -108,6 +119,15 @@ def builtin_align(fin, fout, genome):
             best = None
             for rname, rseq in refs:
                 if not rseq:
+                    continue
+                if (len(qseq) + 1) * (len(rseq) + 1) > max_dp_cells:
+                    if not warned_big:
+                        warned_big = True
+                        sys.stderr.write(
+                            "builtin_align: reference %s too large for "
+                            "the exact DP (>200 MB matrix); skipping "
+                            "such pairs — use bwa for genome-scale "
+                            "mapping.\n" % rname)
                     continue
                 for flag, seq in ((0, qseq), (16, _revcomp(qseq))):
                     score, rs, re, cigar, nm = decodeutil.seq_align(

@@ -126,8 +126,10 @@ def main():
         f_full(lp, sidx, midx, mmidx, mmfact, valid))
     fwd_final, score, _ = jax.block_until_ready(
         f_nolat(lp, sidx, midx, mmidx, mmfact, valid))
-    # "last" seed for the backward: ones at the final position per row
-    last = jnp.ones((B, 1), jnp.float32)
+    # "last" seed for the backward: the int32 INDEX of each row's final
+    # lattice position (production: clip(seqlens-1), ops/flipflop.py),
+    # here npos-1 for every row so the move mask covers the full lattice
+    last = jnp.full((B, 1), npos - 1, jnp.int32)
     f_bwd = jax.jit(functools.partial(
         pallas_crf.crf_backward_fused, block_b=bb, block_t=bt))
     t_bwd = bench(lambda: f_bwd(lp, sidx, midx, mmidx, mmfact, lattice,

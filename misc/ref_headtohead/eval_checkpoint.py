@@ -34,6 +34,12 @@ def main():
     p.add_argument("input", help="mapped-signal HDF5")
     p.add_argument("--reporting_strand_list", required=True)
     p.add_argument("--chunk_len", type=int, default=2000)
+    p.add_argument("--filter_chunk_len", type=int, default=None,
+                   help="chunk length for filter-parameter sampling; "
+                        "must equal the TRAINER's chunk_len_max (and the "
+                        "trainer's filter flags must have been defaults) "
+                        "for the frozen batches to match its. Defaults "
+                        "to --chunk_len.")
     p.add_argument("--sub_batch_size", type=int, default=32)
     p.add_argument("--reporting_sub_batches", type=int, default=2)
     p.add_argument("--seed", type=int, default=1)
@@ -59,7 +65,8 @@ def main():
         can_labels, mod_labels = head.can_labels, head.mod_labels
 
     filter_params = chunk_selection.sample_filter_parameters(
-        read_data, 100000, args.chunk_len, 3.0, 10.0, 0.5, stride,
+        read_data, 100000,
+        args.filter_chunk_len or args.chunk_len, 3.0, 10.0, 0.5, stride,
         args.filter_path_buffer)
 
     ids = set(str(v) for v in readtsv(args.reporting_strand_list,
@@ -81,8 +88,10 @@ def main():
         batches.append(vb)
 
     import jax
+    mod_cat_weights = (np.ones(alphabet_info.nbase, dtype=np.float32)
+                       if is_cat_mod else None)
     loss_fn = jax.jit(train.make_loss_fn(
-        net, is_cat_mod, can_mods_offsets, None))
+        net, is_cat_mod, can_mods_offsets, mod_cat_weights))
     losses = [float(loss_fn(params, vb, args.sharpen)) for vb in batches]
     print("per-sub-batch losses:", ", ".join("%.4f" % v for v in losses))
     print("mean validation loss: %.4f" % float(np.mean(losses)))

@@ -29,11 +29,17 @@ REPO = os.path.join(HERE, os.pardir, os.pardir)
 def write_fast5_and_ref(mapped, read_id, outdir):
     reads_dir = os.path.join(outdir, "reads")
     os.makedirs(reads_dir, exist_ok=True)
-    with h5py.File(mapped, "r") as f:
-        g = f["Reads/" + read_id]
-        dacs = g["Dacs"][()]
-        ref = g["Reference"][()]
-        at = dict(g.attrs)
+    sys.path.insert(0, REPO)
+    from taiyaki_tpu.data import mapped_signal_files
+    with mapped_signal_files.MappedSignalReader(mapped) as msr:
+        # collapse mod labels to canonical letters (cat_mod files carry
+        # labels >= 4); the reader handles both per-read and batch layouts
+        collapse = msr.get_alphabet_information().collapse_alphabet
+        read = next(iter(msr.reads([read_id])))
+    dacs = np.asarray(read.Dacs)
+    ref = np.asarray(read.Reference)
+    at = {k: getattr(read, k)
+          for k in ("digitisation", "offset", "range")}
     with h5py.File(os.path.join(reads_dir, "holdout.fast5"), "w") as f5:
         grp = f5.create_group("read_" + read_id)
         ch = grp.create_group("channel_id")
@@ -48,7 +54,7 @@ def write_fast5_and_ref(mapped, read_id, outdir):
     ref_fa = os.path.join(outdir, "ref.fasta")
     with open(ref_fa, "w") as out:
         out.write(">" + read_id + "\n"
-                  + "".join("ACGT"[b] for b in ref) + "\n")
+                  + "".join(collapse[b] for b in ref) + "\n")
     return reads_dir, ref_fa
 
 

@@ -57,10 +57,13 @@ class MaxReduceServer:
         self._sock.listen(n_procs)
         self.port = self._sock.getsockname()[1]
         self._lock = threading.Lock()
-        # Serializes every server-side sendall: reply fan-out and the
-        # peer-lost sentinel run on different threads, and interleaved
-        # writes to one client socket could corrupt the newline framing.
-        self._send_lock = threading.Lock()
+        # Per-connection write locks: reply fan-out and the peer-lost
+        # sentinel run on different threads, and interleaved writes to
+        # ONE client socket could corrupt the newline framing.  A single
+        # global lock would also work but adds cross-host head-of-line
+        # blocking (a stalled peer's full socket buffer would block
+        # sends to every healthy host, including the fail-fast path).
+        self._send_locks = {}   # conn -> threading.Lock
         self._pending = {}      # tag -> list of (value, conn)
         self._conns = []
         self._closing = False
@@ -76,6 +79,7 @@ class MaxReduceServer:
             conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
             with self._lock:
                 self._conns.append(conn)
+                self._send_locks[conn] = threading.Lock()
             threading.Thread(target=self._serve_conn, args=(conn,),
                              daemon=True).start()
 
@@ -110,35 +114,39 @@ class MaxReduceServer:
             self._dead = True
             conns = list(self._conns)
         for c in conns:
-            try:
-                with self._send_lock:
-                    c.sendall(b"! peer-lost\n")
-            except OSError:
-                pass
+            self._send(c, b"! peer-lost\n")
+
+    def _send(self, conn, data):
+        """sendall under the connection's own write lock (framing safety
+        without cross-connection head-of-line blocking); OSError means a
+        dead peer, which surfaces on its own recv."""
+        lock = self._send_locks.get(conn)
+        try:
+            if lock is None:
+                conn.sendall(data)
+            else:
+                with lock:
+                    conn.sendall(data)
+        except OSError:
+            pass
 
     def _submit(self, tag, value, conn):
         with self._lock:
-            if self._dead:
-                # job already failed: bounce every late submission so no
-                # host ever waits out a socket timeout
-                try:
-                    with self._send_lock:
-                        conn.sendall(b"! peer-lost\n")
-                except OSError:
-                    pass
-                return
-            entries = self._pending.setdefault(tag, [])
-            entries.append((value, conn))
-            if len(entries) < self.n_procs:
-                return
-            del self._pending[tag]
+            dead = self._dead
+            if not dead:
+                entries = self._pending.setdefault(tag, [])
+                entries.append((value, conn))
+                if len(entries) < self.n_procs:
+                    return
+                del self._pending[tag]
+        if dead:
+            # job already failed: bounce every late submission so no
+            # host ever waits out a socket timeout
+            self._send(conn, b"! peer-lost\n")
+            return
         reply = "{} {}\n".format(tag, max(v for v, _ in entries)).encode()
         for _, c in entries:
-            try:
-                with self._send_lock:
-                    c.sendall(reply)
-            except OSError:
-                pass            # a dead peer surfaces on its own recv
+            self._send(c, reply)
 
     def close(self):
         """Close the listener AND all accepted connections, so blocked

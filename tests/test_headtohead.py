@@ -88,9 +88,12 @@ def test_trainer_holds_out_reporting_reads(tmp_path):
     trainer must log training on exactly 1 read, and with
     --include_reporting_strands it must not hold any out."""
     import h5py
+    import pytest
     fixture = os.path.join(
         "/root/reference/test/data/mapped_signal_file",
         "mapped_reads_0.hdf5")
+    if not os.path.exists(fixture):
+        pytest.skip("reference fixture data not present")
     with h5py.File(fixture, "r") as f:
         read_ids = list(f["Reads"].keys())
     assert len(read_ids) == 2
