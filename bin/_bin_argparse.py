@@ -125,8 +125,9 @@ def get_train_flipflop_parser():
         '--seqlen_buckets', default=True, action=AutoBool,
         help='(TPU) Pad each batch\'s sequences to the smallest multiple '
              'of 128 that fits it instead of to the worst-case path-buffer '
-             'bound — skips CRF-lattice compute on padding. Auto-disabled '
-             'under --multihost (bucket choice is per-host data-dependent).')
+             'bound — skips CRF-lattice compute on padding. Under '
+             '--multihost the data-dependent bucket choice is synchronized '
+             'across hosts with a TCP max-reduction (utils/hostsync.py).')
     data_grp.add_argument(
         '--include_reporting_strands', default=False, action=AutoBool,
         help='Train on the validation (reporting) reads too, instead of '

@@ -352,16 +352,14 @@ def finalize_read(prep, trans, paths, mods, errprobs, chunk_size, stride,
 
     mod_scores = None
     if want_mods and beam is None:
-        from taiyaki_tpu.flipflopfings import extract_mod_weights
+        from taiyaki_tpu.flipflopfings import path_mod_scores
         stitched_mods = basecall_helpers.stitch_chunks(
             mods, chunk_starts, chunk_ends, stride)
-        # Align: the state at stitched-path position t was entered via the
-        # transition scored at block t, so mod scores for transitions are
-        # rows 1..N-1; row 0 of the result (the never-moved-into first
-        # base) is dropped to match the basecall length.
-        n = min(len(best_path), len(stitched_mods))
-        mod_scores = extract_mod_weights(
-            stitched_mods[1:n], best_path[:n], can_nmods)[1:]
+        # The transition path[t]->path[t+1] and the mod stream row for it
+        # both come from output block t (path_mod_scores docstring).
+        n = min(len(best_path), len(stitched_mods) + 1)
+        mod_scores = path_mod_scores(
+            best_path[:n], stitched_mods, can_nmods)
     return basecall, qstring, mod_scores
 
 
@@ -461,7 +459,26 @@ def main():
         return item[0], item[1], get_signal(item[0], item[1])
 
     pool = ThreadPoolExecutor(max_workers=max(1, args.jobs))
-    fetched = pool.map(fetch, reads)
+
+    def bounded_prefetch(items, depth):
+        """Ordered results with at most `depth` fetches in flight.
+
+        Executor.map would submit EVERY read's fetch up front: all raw
+        signals end up resident at once (tens of GB on large runs) and
+        later-submitted finalize tasks queue behind the whole fetch
+        backlog, serializing the read pipeline.  Bounding the window
+        keeps memory flat and lets finalize work interleave (same
+        pattern as prepare_mapping_funcs.batched_remap_results)."""
+        from collections import deque
+        q = deque()
+        for item in items:
+            q.append(pool.submit(fetch, item))
+            if len(q) >= depth:
+                yield q.popleft().result()
+        while q:
+            yield q.popleft().result()
+
+    fetched = bounded_prefetch(reads, depth=max(4, 2 * args.jobs))
     reverse_model = metadata.get("reverse", False)
 
     with open_file_or_stdout(args.output) as fh:

@@ -287,6 +287,10 @@ class BatchHDF5Writer(_WriterBase):
                                       compression="gzip")
                 ds[...] = vals
             else:
+                # Missing optional scalars are stored as 0 — the batch
+                # format has no absence encoding, and the reference's
+                # writer does the same (mapped_signal_files.py:633), so
+                # 0 here is the interop contract, not a choice.
                 vals = np.array([rd.get(k, 0) for rd in self._pending],
                                 dtype=dtype)
                 g.create_dataset(k, data=vals, compression="gzip",

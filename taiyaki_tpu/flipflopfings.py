@@ -135,6 +135,29 @@ def extract_mod_weights(mod_weights, path, can_nmods):
     return out
 
 
+def path_mod_scores(path, mod_weights, can_nmods):
+    """Per-basecall mod scores for a decoded path + block mod stream.
+
+    Alignment contract (matches the cat_mod loss, ops/flipflop.py: the
+    move INTO the state at path[t+1] is scored by output block t, the
+    same block that scores the Viterbi transition trans[t]): the mod
+    stream row for transition path[t]->path[t+1] is mod_weights[t].
+
+    Args:
+        path: [N] flip-flop states (path[0] = initial state).
+        mod_weights: [>= N-1, stream] per-block raw mod scores.
+        can_nmods: array of per-canonical-base mod counts.
+
+    Returns:
+        [ncalls, sum(can_nmods)] scores for the called bases EXCLUDING
+        the initial base (matching path_to_str(...,
+        include_first_source=False)); NaN where no mod applies.
+    """
+    n = len(path)
+    return extract_mod_weights(
+        mod_weights[:n - 1], path[:n], can_nmods)[1:]
+
+
 def nstate_flipflop(nbase):
     """Number of transition weights emitted by a flip-flop network: 2L(L+1)."""
     return 2 * nbase * (nbase + 1)

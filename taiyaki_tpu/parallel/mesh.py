@@ -31,8 +31,9 @@ def local_data_mesh():
 
 
 def round_batch_to_mesh(batch_size, mesh):
-    """Smallest multiple of the mesh size >= requested batch size
-    (batches must divide evenly across the data axis)."""
+    """Largest multiple of the mesh size <= requested batch size (at
+    least one row per device) — batches must divide evenly across the
+    data axis, and callers treat batch_size as a capacity ceiling."""
     n = mesh.devices.size
     per = max(1, batch_size // n)
     return per * n

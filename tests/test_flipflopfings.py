@@ -105,3 +105,25 @@ def test_extract_mod_weights():
     assert np.isnan(out[1, 0])  # state 1 = base 1, no mods
     assert out[2, 0] == mod_weights[2, 1]
     assert out[3, 0] == mod_weights[3, 1]
+
+
+def test_path_mod_scores_block_alignment():
+    """The mod stream row for transition path[t] -> path[t+1] is
+    mod_weights[t] — the block that also scores the Viterbi transition.
+    Regression for the basecaller's one-block mod-score shift."""
+    can_nmods = np.array([1, 0])
+    # transitions: t0 move into state 1 (base 1, no mods), t1 stay,
+    # t2 move into state 2 (flop of base 0, has a mod)
+    path = np.array([0, 1, 1, 2])
+    mod_weights = 10.0 * np.arange(9, dtype=float).reshape(3, 3) + 1
+    out = ff.path_mod_scores(path, mod_weights, can_nmods)
+    # called bases excluding the initial: state 1 then state 2
+    assert out.shape == (2, 1)
+    assert np.isnan(out[0, 0])                     # base 1 has no mods
+    assert out[1, 0] == mod_weights[2, 1]          # block t=2, mod col
+    # extra trailing mod rows (stitched stream longer than the path
+    # consumes) must not shift anything
+    longer = np.concatenate([mod_weights, 999 * np.ones((2, 3))])
+    assert np.array_equal(
+        ff.path_mod_scores(path, longer, can_nmods), out,
+        equal_nan=True)
