@@ -119,3 +119,75 @@ def test_beam_fastq_emits_quality_strings(tmp_path):
     vquals = "".join(vlines[i + 3] for i in range(0, len(vlines), 4))
     mean_q = lambda qs: sum(ord(c) - 33 for c in qs) / len(qs)
     assert abs(mean_q(quals) - mean_q(vquals)) < 3.0
+
+
+def test_modified_base_output(tmp_path):
+    """--modified_base_output writes per-called-base mod scores whose row
+    count matches the basecall length (regression: the mod stream was
+    read one block late; flipflopfings.path_mod_scores pins the
+    alignment, this pins the CLI path end-to-end)."""
+    import importlib.util
+    import h5py
+    import numpy as np
+    spec = importlib.util.spec_from_file_location(
+        "tcm", os.path.join(REPO, "tests", "test_pallas_mesh_catmod.py"))
+    tcm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tcm)
+    from taiyaki_tpu.alphabet import AlphabetInfo
+    from taiyaki_tpu.data import mapped_signal_files as msf
+
+    rng = np.random.default_rng(11)
+    reads = tcm.synth_mod_reads(rng, nreads=4, nbases=300)
+    ai = AlphabetInfo("ACGTZ", "ACGTA", mod_long_names=["5mZ"])
+    mapped = str(tmp_path / "mod.hdf5")
+    with msf.MappedSignalWriter(mapped, ai) as w:
+        for r in reads:
+            w.write_read(r.get_read_dictionary())
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    run = str(tmp_path / "run")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bin", "train_flipflop.py"),
+         "--size", "16", "--stride", "2", "--winlen", "9", "--seed", "1",
+         "--chunk_len_min", "600", "--chunk_len_max", "600",
+         "--min_sub_batch_size", "4", "--niteration", "2",
+         "--warmup_batches", "1", "--save_every", "2",
+         "--reporting_sub_batches", "1", "--outdir", run, "--overwrite",
+         os.path.join(REPO, "taiyaki_tpu", "models",
+                      "mGru_cat_mod_flipflop.py"), mapped],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # one read's raw signal as a fast5
+    reads_dir = tmp_path / "reads"
+    reads_dir.mkdir()
+    with h5py.File(str(reads_dir / "r.fast5"), "w") as f5:
+        grp = f5.create_group("read_" + reads[0].read_id)
+        ch = grp.create_group("channel_id")
+        for k, v in (("digitisation", 1.0), ("offset", 0.0),
+                     ("range", 1.0), ("sampling_rate", 4000.0)):
+            ch.attrs[k] = v
+        raw = grp.create_group("Raw")
+        raw.attrs["read_id"] = reads[0].read_id
+        raw.attrs["start_time"] = 0
+        raw.attrs["duration"] = int(reads[0].Dacs.size)
+        raw.create_dataset("Signal", data=reads[0].Dacs, dtype="i2")
+
+    calls = str(tmp_path / "calls.fa")
+    mods_h5 = str(tmp_path / "mods.hdf5")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bin", "basecall.py"),
+         "--device", "cpu", "--output", calls,
+         "--modified_base_output", mods_h5, "--quiet",
+         str(reads_dir), os.path.join(run, "model_final.checkpoint")],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    fasta = load_fasta(calls)
+    assert reads[0].read_id in fasta
+    with h5py.File(mods_h5, "r") as f:
+        assert list(f["mod_long_names"][()].astype(str)) == ["5mZ"]
+        scores = f["Reads"][reads[0].read_id][()]
+    # one row per called base, one column per mod
+    assert scores.shape == (len(fasta[reads[0].read_id]), 1)
+    assert np.isfinite(scores).any() or np.isnan(scores).all()
