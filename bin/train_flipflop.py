@@ -193,6 +193,10 @@ def main(args):
     lr_warmup = args.lr_min if args.lr_warmup is None else args.lr_warmup
     if args.warmup_batches >= args.niteration:
         sys.exit('* Error: --warmup_batches must be < --niteration')
+    if args.chunk_len_min > args.chunk_len_max:
+        # reference rejects this too (train_flipflop.py:247-249); without
+        # the check the bucket schedule silently collapses
+        sys.exit('* Error: --chunk_len_min greater than --chunk_len_max')
     optimizer, schedule = train.make_optimizer(
         args.lr_max, args.niteration, args.warmup_batches, lr_warmup,
         args.lr_min, adam_betas=tuple(args.adam), eps=args.eps,
@@ -354,6 +358,7 @@ def main(args):
         it_idx = next(sample_counter)
         batches = []
         rejections_total = defaultdict(int)
+        sample_count = base_count = 0
         for sub in range(args.sub_batches):
             reduce_fn = (_seqlen_sync(seqlen_reducer,
                                       '%d.%d' % (it_idx, sub))
@@ -370,10 +375,17 @@ def main(args):
             if batch.signal.shape[1] < local_batch_size:
                 # pad batch to static size with repeats for shape stability
                 batch = _pad_batch(batch, local_batch_size)
+            # account samples/bases HERE, while the batch is still host
+            # numpy: summing a device-sharded seqlens in the train loop
+            # would enqueue an eager reduction behind the just-dispatched
+            # step and block on it, serializing the fetch pipeline
+            sample_count += int(batch.signal.size)
+            base_count += int(np.sum(batch.seqlens))
             if mesh is not None:
                 batch = train.shard_batch(batch, mesh)
             batches.append(batch)
-        return batch_chunk_len, batches, rejections_total
+        return (batch_chunk_len, batches, rejections_total,
+                (sample_count, base_count))
 
     # From here on the global stream draws training chunks: offset it per
     # host so hosts sample different data (reference :268).
@@ -453,14 +465,14 @@ def main(args):
                             .format(args.outdir))
         sharpen = sharpen_sched(curr_iter)
         mod_factor = mod_factor_sched(curr_iter)
-        batch_chunk_len, batches, rejections = next_batches.result()
+        (batch_chunk_len, batches, rejections,
+         (iter_samples, iter_bases)) = next_batches.result()
         if curr_iter + 1 < args.niteration:
             next_batches = prefetch.submit(sample_iteration)
         for k, v in rejections.items():
             rejection_dict[k] += v
 
         losses = []
-        iter_samples = iter_bases = 0
         used_threshs = capper.thresholds.copy()
         if args.sub_batches == 1:
             for batch in batches:
@@ -468,16 +480,12 @@ def main(args):
                     params, opt_state, batch, sharpen, mod_factor,
                     jnp.asarray(used_threshs))
                 losses.append(loss)
-                iter_samples += batch.signal.size
-                iter_bases += int(np.sum(batch.seqlens))
         else:
             acc = None
             for batch in batches:
                 loss, grads = grad_fn(params, batch, sharpen, mod_factor)
                 acc = train.accumulate_grads(acc, grads)
                 losses.append(loss)
-                iter_samples += batch.signal.size
-                iter_bases += int(np.sum(batch.seqlens))
             params, opt_state, grad_maxs = apply_fn(
                 params, opt_state, acc, float(args.sub_batches),
                 jnp.asarray(used_threshs))
@@ -515,6 +523,12 @@ def main(args):
             logs.main.write(MAIN_LOG_VAL_TMPLT.format(
                 curr_iter + 1, rloss, vbases / 1e6, dt, vbases / 1e3 / dt))
             logs.validation.write(VAL_TMPLT.format(curr_iter + 1, rloss))
+            # reset the polka counters WITH the clock: resetting only
+            # time_last would divide a full row's samples by the
+            # time-since-validation, inflating the next row's ksample/s
+            # (the reference avoids this by rounding save_every up to a
+            # DOTROWLENGTH multiple, reference bin/train_flipflop.py:240)
+            total_bases = total_samples = 0
             time_last = time.time()
 
     if pending is not None:

@@ -579,7 +579,16 @@ def _logz_pad_scores(scores, block_t, dtype=None):
 
 @jax.custom_vjp
 def _logz_pallas(scores):
-    logz, _ = _logz_pallas_fwd(scores)
+    # Primal-only call (no vjp will consume residuals): skip the
+    # [T, B, 128] lattice stream entirely — basecall make_trans and
+    # validation eval_loss hit this path every call.
+    from taiyaki_tpu.ops import pallas_logz
+    nblk, nbatch, ntrans = scores.shape
+    nbase = _nbase_from_ntrans(ntrans)
+    bt = pallas_logz.block_t_for(nbatch)
+    scores_p = _logz_pad_scores(scores, bt)
+    _, logz, _ = pallas_logz.logz_forward(
+        scores_p, nbase, block_t=bt, unroll=True, emit_lattice=False)
     return logz
 
 

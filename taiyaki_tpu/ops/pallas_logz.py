@@ -98,7 +98,11 @@ def _row_logsumexp(x):
 
 
 def _fwd_kernel(scores_ref, src_ref, dst_ref, fwd_out, logz_out,
-                lattice_ref, fwd_carry, logz_carry, *, block_t, nff, unroll=False):
+                *rest, block_t, nff, unroll=False, emit=True):
+    if emit:
+        lattice_ref, fwd_carry, logz_carry = rest
+    else:
+        fwd_carry, logz_carry = rest
     B = fwd_carry.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (B, LANES), 1)
 
@@ -111,7 +115,8 @@ def _fwd_kernel(scores_ref, src_ref, dst_ref, fwd_out, logz_out,
 
     def body(k, _):
         fwd = fwd_carry[:]
-        lattice_ref[k] = fwd.astype(lattice_ref.dtype)
+        if emit:
+            lattice_ref[k] = fwd.astype(lattice_ref.dtype)
         cand = (jnp.dot(fwd, src_ref[:], preferred_element_type=jnp.float32)
                 + scores_ref[k].astype(jnp.float32))
         cand = jnp.where(col < nff * (nff // 2 + 1), cand, _NEG)
@@ -135,7 +140,7 @@ def _fwd_kernel(scores_ref, src_ref, dst_ref, fwd_out, logz_out,
 
 
 def logz_forward(scores_p, nbase, block_t=DEFAULT_BLOCK_T, interpret=False,
-                 residual_dtype=None, unroll=False):
+                 residual_dtype=None, unroll=False, emit_lattice=True):
     """Forward pass.
 
     Args:
@@ -145,9 +150,12 @@ def logz_forward(scores_p, nbase, block_t=DEFAULT_BLOCK_T, interpret=False,
         nbase: number of canonical bases.
         residual_dtype: storage dtype for the lattice (a gradient-only
             residual; logz/fwd_final stay float32).
+        emit_lattice: False skips the [T, B, LANES] residual stream
+            entirely — for primal-only calls (inference make_trans,
+            validation eval) where no backward will run.
 
     Returns:
-        (fwd_final [B, LANES], logz [B], lattice [T, B, LANES]).
+        (fwd_final [B, LANES], logz [B], lattice [T, B, LANES] or None).
     """
     T, B, L = scores_p.shape
     res_dt = residual_dtype or jnp.float32
@@ -156,8 +164,23 @@ def logz_forward(scores_p, nbase, block_t=DEFAULT_BLOCK_T, interpret=False,
     bb = block_b_for(B)
     nb = B // bb
     kernel = functools.partial(_fwd_kernel, block_t=block_t, nff=2 * nbase,
-                               unroll=unroll)
-    fwd_final, logz, lattice = pl.pallas_call(
+                               unroll=unroll, emit=emit_lattice)
+    out_specs = [
+        pl.BlockSpec((bb, LANES), lambda ib, it: (ib, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, 1), lambda ib, it: (ib, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((B, 1), jnp.float32),
+    ]
+    if emit_lattice:
+        out_specs.append(
+            pl.BlockSpec((block_t, bb, LANES), lambda ib, it: (it, ib, 0),
+                         memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((T, B, LANES), res_dt))
+    outs = pl.pallas_call(
         kernel,
         grid=(nb, T // block_t),
         in_specs=[
@@ -168,25 +191,16 @@ def logz_forward(scores_p, nbase, block_t=DEFAULT_BLOCK_T, interpret=False,
             pl.BlockSpec((LANES, LANES), lambda ib, it: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((bb, LANES), lambda ib, it: (ib, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, 1), lambda ib, it: (ib, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_t, bb, LANES), lambda ib, it: (it, ib, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, LANES), res_dt),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((bb, LANES), jnp.float32),
             pltpu.VMEM((bb, 1), jnp.float32),
         ],
         interpret=interp(interpret),
     )(scores_p, jnp.asarray(_pad_lanes(src)), jnp.asarray(_pad_lanes(dst)))
+    fwd_final, logz = outs[0], outs[1]
+    lattice = outs[2] if emit_lattice else None
     return fwd_final, logz[:, 0], lattice
 
 
