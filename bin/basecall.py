@@ -33,9 +33,18 @@ def get_parser():
     add_common_command_args(
         parser, """alphabet device input_folder input_strand_list jobs
         limit output quiet recursive version""".split())
+    def _boolish(s):
+        # bool('False') is True; accept the strings a user will type
+        # (the reference's type=(int, bool) makes guided un-disableable)
+        if str(s).lower() in ("false", "0", "no", "off"):
+            return False
+        if str(s).lower() in ("true", "1", "yes", "on"):
+            return True
+        raise argparse.ArgumentTypeError("expected a boolean, got %r" % s)
+
     parser.add_argument(
         "--beam", default=None, metavar=("width", "guided"), nargs=2,
-        type=(int, bool), action=ParseToNamedTuple,
+        type=(int, _boolish), action=ParseToNamedTuple,
         help="Decode with the prefix beam search instead of Viterbi")
     parser.add_argument(
         "--chunk_size", type=Positive(int), metavar="blocks",
@@ -413,6 +422,12 @@ def main():
     can_nmods = None
     mod_writer = None
     if args.modified_base_output is not None:
+        if args.beam is not None:
+            # the beam path returns a base sequence with no block
+            # alignment, so per-base mod scores cannot be extracted —
+            # fail loudly rather than write an empty mod file
+            sys.exit("* Error: --modified_base_output requires the "
+                     "Viterbi decoder (drop --beam)")
         import h5py
         if not layers.is_cat_mod_model(net):
             sys.exit("* Error: --modified_base_output requires a cat_mod "
@@ -425,7 +440,12 @@ def main():
             data=np.array(head.ordered_mod_long_names,
                           dtype=h5py.special_dtype(vlen=str)))
         mod_writer.create_group("Reads")
-    ndev = args.ndevices or jax.local_device_count()
+    if args.ndevices is None and isinstance(args.device, int):
+        # an explicit --device INDEX pins work to that chip; defaulting
+        # the mesh to all local chips would silently override the pin
+        ndev = 1
+    else:
+        ndev = args.ndevices or jax.local_device_count()
     if ndev > jax.local_device_count():
         sys.exit("* Error: --ndevices {} requested but only {} local "
                  "devices are available".format(ndev,
@@ -453,7 +473,9 @@ def main():
     # device compute; replaces the reference's per-worker model pool — on
     # TPU one process drives the accelerator and only IO parallelizes.
     from concurrent.futures import ThreadPoolExecutor
-    reads = list(fast5_reads)
+    # keep fast5_reads lazy: list() would force the full directory scan
+    # (one open per fast5) before the first basecall
+    reads = fast5_reads
 
     def fetch(item):
         return item[0], item[1], get_signal(item[0], item[1])
@@ -518,8 +540,17 @@ def main():
             for p, (basecall, qstring, mod_scores) in zip(batch_reads,
                                                           results):
                 if mod_writer is not None and mod_scores is not None:
-                    mod_writer["Reads"].create_dataset(
-                        p["read_id"], data=mod_scores.astype(np.float32))
+                    if p["read_id"] in mod_writer["Reads"]:
+                        # same read present in two input files: keep the
+                        # first call instead of crashing on the h5 name
+                        sys.stderr.write(
+                            "* Warning: duplicate read id {}; keeping "
+                            "the first mod-score table.\n"
+                            .format(p["read_id"]))
+                    else:
+                        mod_writer["Reads"].create_dataset(
+                            p["read_id"],
+                            data=mod_scores.astype(np.float32))
                 if basecall is not None and len(basecall) > 0:
                     fh.write("{}{}\n{}\n".format(
                         startcharacter, p["read_id"],

@@ -22,6 +22,12 @@ def _dec(v):
     return v.decode() if isinstance(v, bytes) else v
 
 
+def _read_sort_key(name):
+    """Numeric ordering for single-read-layout 'Read_NNN' group names."""
+    suffix = name.rsplit("_", 1)[-1]
+    return (0, int(suffix), name) if suffix.isdigit() else (1, 0, name)
+
+
 class Fast5Read:
     """One read inside an open fast5 file."""
 
@@ -76,10 +82,12 @@ class Fast5File:
         if self.is_multi:
             return [k[len("read_"):] for k in self.hdf5.keys()
                     if k.startswith("read_")]
-        reads = sorted(self.hdf5["Raw/Reads"].keys())
+        reads = sorted(self.hdf5["Raw/Reads"].keys(), key=_read_sort_key)
         if not reads:
             return []
         # single-read layout: take the highest-numbered (latest) read
+        # (numeric on the Read_NNN suffix: lexicographic puts Read_999
+        # after Read_1000)
         grp = self.hdf5["Raw/Reads/" + reads[-1]]
         return [_dec(grp.attrs["read_id"])]
 
@@ -87,7 +95,7 @@ class Fast5File:
         if self.is_multi:
             grp = self.hdf5["read_" + read_id]
             return Fast5Read(grp, grp["Raw"])
-        reads = sorted(self.hdf5["Raw/Reads"].keys())
+        reads = sorted(self.hdf5["Raw/Reads"].keys(), key=_read_sort_key)
         for name in reversed(reads):
             raw = self.hdf5["Raw/Reads/" + name]
             if _dec(raw.attrs["read_id"]) == read_id:
