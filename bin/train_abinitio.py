@@ -127,9 +127,8 @@ def main():
         params = net.init(rng)
 
     schedule = optax.cosine_decay_schedule(args.lr_max, args.niteration)
-    opt = optax.chain(
-        optax.adamw(schedule, b1=args.adam[0], b2=args.adam[1],
-                    eps=args.eps, weight_decay=args.weight_decay))
+    opt = optax.adamw(schedule, b1=args.adam[0], b2=args.adam[1],
+                      eps=args.eps, weight_decay=args.weight_decay)
     opt_state = opt.init(params)
 
     # Static padded sequence length across the dataset.

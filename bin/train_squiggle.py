@@ -164,8 +164,12 @@ def main():
                                            args.winlen))
 
     # Static max signal length per chunk: dwell filter bounds sig_len.
+    # --filter_mean_dwell None disables the filter; bound the static
+    # shape generously from the sampled dwell stats instead.
+    dwell_mads = (10.0 if args.filter_mean_dwell is None
+                  else args.filter_mean_dwell)
     max_dwell = (filter_params.median_meandwell
-                 + args.filter_mean_dwell * filter_params.mad_meandwell)
+                 + dwell_mads * filter_params.mad_meandwell)
     max_siglen = int(np.ceil(args.target_len * max_dwell / 256.0)) * 256
 
     schedule = lambda i: args.lr_max * args.lr_decay / (i + args.lr_decay)  # noqa: E731

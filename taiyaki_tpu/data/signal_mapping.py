@@ -101,11 +101,16 @@ class Chunk:
                 <= fp.path_buffer):
             self.reject_reason = self.rej_str_path_buffer
             return
-        if (abs(self.mean_dwell - fp.median_meandwell)
+        # a None threshold disables that filter (the CLI's Maybe(...)
+        # types allow it; the reference crashes on None here)
+        if (fp.filter_mean_dwell is not None
+                and abs(self.mean_dwell - fp.median_meandwell)
                 > fp.filter_mean_dwell * fp.mad_meandwell):
             self.reject_reason = self.rej_str_mean_dwl
             return
-        if self.max_dwell > fp.filter_max_dwell * fp.median_meandwell:
+        if (fp.filter_max_dwell is not None
+                and self.max_dwell
+                > fp.filter_max_dwell * fp.median_meandwell):
             self.reject_reason = self.rej_str_max_dwl
 
 

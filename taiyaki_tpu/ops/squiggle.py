@@ -71,9 +71,17 @@ def squiggle_match_cost(params, signals, siglens, back_prob):
     loc = params[:, :, 0].T                        # [batch, npos]
     logscale = params[:, :, 1].T
     scale = jnp.exp(logscale)
-    move_p = (1.0 - back_prob) * jax.nn.sigmoid(params[:, :, 2].T)
-    move_pen = jnp.log(move_p)
-    stay_pen = jnp.log1p(-move_p - back_prob)
+    # log-space penalties via log_sigmoid: the naive
+    # log1p(-(1-b)*sigmoid(r) - b) rounds to log(0) = -inf once
+    # sigmoid(r) hits 1.0 in f32 (r >= ~17, reachable in training) and
+    # its autodiff emits inf*0 = NaN gradients for EVERY parameter;
+    # algebraically 1 - move_p - b = (1-b)*(1-sigmoid(r)), so both
+    # penalties are finite for all r (the reference's analytic C
+    # gradient is likewise NaN-free, c_squiggle_match.c)
+    rate = params[:, :, 2].T
+    log_no_back = jnp.log1p(-back_prob)
+    move_pen = log_no_back + jax.nn.log_sigmoid(rate)
+    stay_pen = log_no_back + jax.nn.log_sigmoid(-rate)
     move_back_pen = jnp.log(back_prob)
     half = jnp.log(0.5)
 
@@ -188,10 +196,11 @@ def squiggle_match_viterbi_path(params, signal, back_prob, localpen=None,
         origst = np.arange(1, npos)
         tail = (prev[origst] + move_pen[origst]
                 - localpen * (npos - origst))
-        k = int(np.argmax(tail))
-        if tail[k] > curr[nfstate - 1]:
-            curr[nfstate - 1] = tail[k]
-            tb[nfstate - 1] = origst[k]
+        if len(tail):   # npos == 1: no tail origins (C++ guards npos > 1)
+            k = int(np.argmax(tail))
+            if tail[k] > curr[nfstate - 1]:
+                curr[nfstate - 1] = tail[k]
+                tb[nfstate - 1] = origst[k]
         # position p+1 -> back state p
         cand = prev[2:npos + 1] + move_back_pen
         idx = nfstate + np.arange(npos - 1)
